@@ -1,0 +1,53 @@
+"""membrane_solver_tpu — a TPU-native Surface-Evolver-style membrane energy minimizer.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+``AvishaiBarnoy/membrane_solver`` (see /root/reference): triangulated-mesh
+energy minimization over vertex positions and per-vertex bilayer tilt fields,
+with pluggable energy functionals and hard constraints, Evolver-style mesh
+operations (refine / equiangulate / vertex-average), an interactive CLI, and
+a benchmark + acceptance-test harness.
+
+Architecture (TPU-first, not a port):
+
+- Host layer (`geometry`, `runtime.refinement`, ...): a light entity mesh used
+  for I/O, topology surgery, and option/tag bookkeeping.  Topology changes are
+  index-rewrite passes producing new dense index buffers.
+- Device layer (`device`, `energy`, `constraints`, `runtime.jit_core`): all
+  per-step numerics are pure functions of capacity-padded SoA arrays
+  (positions, tilts, triangle rows, edge rows, masks, per-facet parameters),
+  compiled once with `jax.jit` and re-used across topology changes of the same
+  padded capacity.  Gradients come from `jax.grad` through the shared geometry
+  context; hot kernels have fused Pallas implementations.
+- Minimization (`runtime.minimizer`): an Evolver-compatible outer loop whose
+  inner iteration blocks (energy/gradient assembly, KKT constraint projection,
+  Armijo line search with normal-flip safety, tilt inner solves) run as jitted
+  fixed-shape `lax.while_loop`s on device.
+
+Precision: the solver runs in float64 (like the reference); importing this
+package enables JAX x64 mode.
+"""
+
+from __future__ import annotations
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from membrane_solver_tpu.core.parameters import GlobalParameters, ParameterResolver  # noqa: E402
+from membrane_solver_tpu.geometry.io_readers import load_data, parse_geometry  # noqa: E402
+from membrane_solver_tpu.geometry.io_writers import save_geometry  # noqa: E402
+from membrane_solver_tpu.geometry.mesh import Mesh  # noqa: E402
+from membrane_solver_tpu.runtime.minimizer import Minimizer  # noqa: E402
+
+__all__ = [
+    "GlobalParameters",
+    "ParameterResolver",
+    "Mesh",
+    "Minimizer",
+    "load_data",
+    "parse_geometry",
+    "save_geometry",
+    "__version__",
+]

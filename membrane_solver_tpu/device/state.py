@@ -1,0 +1,289 @@
+"""Device-side problem state: capacity-padded SoA arrays + static spec.
+
+This is the TPU-native replacement for the reference's SoA caches on
+``geometry/mesh.py`` (positions_view / tilts_*_view / triangle_row_cache /
+fixed_mask, reference geometry/mesh.py:328-770).  Instead of version-counter
+cache invalidation, the mesh is *compiled* into an immutable bundle of dense
+arrays; every solver step is a pure function of them.
+
+Capacity padding: arrays are allocated at a power-of-two capacity >= the live
+entity counts, so topology changes (refinement quadruples triangles) reuse the
+same compiled XLA executables until capacity actually grows.  Invalid rows are
+masked: padded triangles gather vertex 0 but contribute nothing; padded
+vertices are marked fixed so their gradient rows stay zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from membrane_solver_tpu.geometry.mesh import Mesh
+
+F64 = jnp.float64
+I32 = jnp.int32
+
+
+def capacity_for(n: int, minimum: int = 8) -> int:
+    """Power-of-two capacity with headroom for one refinement level burst."""
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MeshState:
+    """Mutable-per-step unknowns (a pytree of (Nv_cap, 3) float64 arrays)."""
+
+    positions: jnp.ndarray
+    tilts: jnp.ndarray
+    tilts_in: jnp.ndarray
+    tilts_out: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Topology:
+    """Connectivity + per-entity parameters (dynamic arrays, static shapes).
+
+    Changing topology (refine/equiangulate) produces a *new* Topology with the
+    same array shapes (until capacity grows), so jitted step functions do not
+    recompile.
+    """
+
+    # triangles
+    tri_rows: jnp.ndarray  # (Nf_cap, 3) int32 vertex rows
+    tri_valid: jnp.ndarray  # (Nf_cap,) bool
+    tri_surface_tension: jnp.ndarray  # (Nf_cap,) f64
+    tri_body: jnp.ndarray  # (Nf_cap,) int32 in [0, Nb_cap]; Nb_cap = "no body"
+    # edges
+    edge_rows: jnp.ndarray  # (Ne_cap, 2) int32 vertex rows
+    edge_valid: jnp.ndarray  # (Ne_cap,) bool
+    # vertices
+    vertex_valid: jnp.ndarray  # (Nv_cap,) bool
+    fixed_mask: jnp.ndarray  # (Nv_cap,) bool (True on padding)
+    tilt_fixed_mask: jnp.ndarray  # (Nv_cap,) bool
+    tilt_fixed_in_mask: jnp.ndarray  # (Nv_cap,) bool
+    tilt_fixed_out_mask: jnp.ndarray  # (Nv_cap,) bool
+    # bodies
+    body_valid: jnp.ndarray  # (Nb_cap,) bool
+    body_target_volume: jnp.ndarray  # (Nb_cap,) f64
+    body_has_target: jnp.ndarray  # (Nb_cap,) bool
+    body_volume_stiffness: jnp.ndarray  # (Nb_cap,) f64
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemSpec:
+    """Static (compile-time) description of the problem.
+
+    Hashable; passed as a static argument so jitted code specializes on the
+    active module set and mode switches, like the reference's importlib-driven
+    module dispatch (runtime/evaluation_manager.py:126-151) resolved at trace
+    time instead of per call.
+    """
+
+    energy_modules: Tuple[str, ...]
+    constraint_modules: Tuple[str, ...]
+    volume_mode: str  # "penalty" | "lagrange"
+    nv_cap: int
+    nf_cap: int
+    ne_cap: int
+    nb_cap: int
+
+    @property
+    def needs_curvature(self) -> bool:
+        return any(
+            m.startswith("bending") or m.startswith("tilt_smoothness") or m == "mean_curvature_tilt"
+            for m in self.energy_modules
+        )
+
+
+@dataclasses.dataclass
+class CompiledProblem:
+    """Host bundle tying a Mesh snapshot to device arrays."""
+
+    spec: ProblemSpec
+    state: MeshState
+    topo: Topology
+    params: Dict[str, Any]
+    vertex_ids: np.ndarray  # row -> host vertex id
+    tri_facet_ids: list  # tri row -> host facet id
+    n_vertices: int
+    n_tris: int
+    n_edges: int
+    n_bodies: int
+
+
+def _pad2(arr: np.ndarray, cap: int, fill=0.0) -> np.ndarray:
+    out = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+def compile_state(
+    mesh: Mesh,
+    min_vertex_capacity: int = 8,
+    headroom: int = 1,
+) -> CompiledProblem:
+    """Compile a host mesh into padded device arrays + a static spec.
+
+    ``headroom`` extra doublings are allocated beyond the next power of two so
+    an imminent refinement does not force a recompile.
+    """
+    mesh.build_connectivity_maps()
+    vertex_ids = mesh.vertex_ids
+    row_of = {int(v): i for i, v in enumerate(vertex_ids)}
+    nv = len(vertex_ids)
+
+    tri_rows_np, tri_fids = mesh.triangle_rows()
+    nf = tri_rows_np.shape[0]
+
+    edge_items = sorted(mesh.edges)
+    ne = len(edge_items)
+    edge_rows_np = np.zeros((max(ne, 1), 2), dtype=np.int32)
+    for i, eid in enumerate(edge_items):
+        e = mesh.edges[eid]
+        edge_rows_np[i] = (row_of[e.tail_index], row_of[e.head_index])
+    edge_rows_np = edge_rows_np[:ne]
+
+    body_items = sorted(mesh.bodies)
+    nb = len(body_items)
+
+    scale = 2**max(0, headroom - 1)
+    nv_cap = capacity_for(nv * scale, minimum=min_vertex_capacity)
+    nf_cap = capacity_for(max(nf, 1) * scale)
+    ne_cap = capacity_for(max(ne, 1) * scale)
+    nb_cap = capacity_for(max(nb, 1), minimum=1)
+
+    gp = mesh.global_parameters
+
+    # triangle -> body mapping (facets not in any body -> nb_cap slot, masked out)
+    facet_body = {}
+    for bslot, bid in enumerate(body_items):
+        for fid in mesh.bodies[bid].facet_indices:
+            facet_body[fid] = bslot
+    tri_body_np = np.full(nf_cap, nb_cap, dtype=np.int32)
+    for i, fid in enumerate(tri_fids):
+        tri_body_np[i] = facet_body.get(fid, nb_cap)
+
+    gamma_np = mesh.facet_parameter_array("surface_tension")
+
+    body_tv = np.zeros(nb_cap)
+    body_has_tv = np.zeros(nb_cap, dtype=bool)
+    body_k = np.full(nb_cap, float(gp.get("volume_stiffness", 1000.0)))
+    for bslot, bid in enumerate(body_items):
+        body = mesh.bodies[bid]
+        tv = body.target_volume
+        if tv is None:
+            tv = body.options.get("target_volume")
+        if tv is not None:
+            body_tv[bslot] = float(tv)
+            body_has_tv[bslot] = True
+        if "volume_stiffness" in body.options:
+            body_k[bslot] = float(body.options["volume_stiffness"])
+
+    fixed = mesh.fixed_mask()
+    tfix = np.array([mesh.vertices[int(v)].tilt_fixed for v in vertex_ids], dtype=bool)
+    tfix_in = np.array([mesh.vertices[int(v)].tilt_fixed_in for v in vertex_ids], dtype=bool)
+    tfix_out = np.array([mesh.vertices[int(v)].tilt_fixed_out for v in vertex_ids], dtype=bool)
+
+    topo = Topology(
+        tri_rows=jnp.asarray(_pad2(tri_rows_np, nf_cap, 0), dtype=I32),
+        tri_valid=jnp.asarray(_pad2(np.ones(nf, dtype=bool), nf_cap, False)),
+        tri_surface_tension=jnp.asarray(_pad2(gamma_np, nf_cap, 0.0), dtype=F64),
+        tri_body=jnp.asarray(tri_body_np, dtype=I32),
+        edge_rows=jnp.asarray(_pad2(edge_rows_np, ne_cap, 0), dtype=I32),
+        edge_valid=jnp.asarray(_pad2(np.ones(ne, dtype=bool), ne_cap, False)),
+        vertex_valid=jnp.asarray(_pad2(np.ones(nv, dtype=bool), nv_cap, False)),
+        fixed_mask=jnp.asarray(_pad2(fixed, nv_cap, True)),
+        tilt_fixed_mask=jnp.asarray(_pad2(tfix, nv_cap, True)),
+        tilt_fixed_in_mask=jnp.asarray(_pad2(tfix_in, nv_cap, True)),
+        tilt_fixed_out_mask=jnp.asarray(_pad2(tfix_out, nv_cap, True)),
+        body_valid=jnp.asarray(_pad2(np.ones(nb, dtype=bool), nb_cap, False)),
+        body_target_volume=jnp.asarray(body_tv, dtype=F64),
+        body_has_target=jnp.asarray(body_has_tv),
+        body_volume_stiffness=jnp.asarray(body_k, dtype=F64),
+    )
+
+    state = MeshState(
+        positions=jnp.asarray(_pad2(mesh.positions_array(), nv_cap, 0.0), dtype=F64),
+        tilts=jnp.asarray(_pad2(mesh.tilts_array(), nv_cap, 0.0), dtype=F64),
+        tilts_in=jnp.asarray(_pad2(mesh.tilts_in_array(), nv_cap, 0.0), dtype=F64),
+        tilts_out=jnp.asarray(_pad2(mesh.tilts_out_array(), nv_cap, 0.0), dtype=F64),
+    )
+
+    spec = ProblemSpec(
+        energy_modules=tuple(mesh.energy_modules),
+        constraint_modules=tuple(mesh.constraint_modules),
+        volume_mode=str(gp.get("volume_constraint_mode", "lagrange")),
+        nv_cap=nv_cap,
+        nf_cap=nf_cap,
+        ne_cap=ne_cap,
+        nb_cap=nb_cap,
+    )
+
+    params = build_params(mesh)
+
+    return CompiledProblem(
+        spec=spec,
+        state=state,
+        topo=topo,
+        params=params,
+        vertex_ids=np.asarray(vertex_ids),
+        tri_facet_ids=tri_fids,
+        n_vertices=nv,
+        n_tris=nf,
+        n_edges=ne,
+        n_bodies=nb,
+    )
+
+
+# Scalar global parameters forwarded into the jitted params pytree.  Values
+# change without recompilation (they are traced scalars).
+_SCALAR_PARAM_KEYS: Tuple[str, ...] = (
+    "surface_tension",
+    "volume_stiffness",
+    "intrinsic_curvature",
+    "bending_modulus",
+    "gaussian_modulus",
+    "line_tension",
+    "tilt_modulus",
+    "tilt_modulus_in",
+    "tilt_modulus_out",
+    "tilt_smoothness_modulus",
+    "tilt_smoothness_modulus_in",
+    "tilt_smoothness_modulus_out",
+    "tilt_coupling_modulus",
+    "edge_length_stiffness",
+)
+
+
+def build_params(mesh: Mesh) -> Dict[str, Any]:
+    gp = mesh.global_parameters
+    params: Dict[str, Any] = {}
+    for key in _SCALAR_PARAM_KEYS:
+        val = gp.get(key)
+        if val is not None and isinstance(val, (int, float)) and not isinstance(val, bool):
+            params[key] = jnp.asarray(float(val), dtype=F64)
+    return params
+
+
+def writeback(problem: CompiledProblem, mesh: Mesh) -> None:
+    """Copy device state (positions, tilts) back into the host mesh entities."""
+    nv = problem.n_vertices
+    pos = np.asarray(problem.state.positions[:nv])
+    tilts = np.asarray(problem.state.tilts[:nv])
+    tilts_in = np.asarray(problem.state.tilts_in[:nv])
+    tilts_out = np.asarray(problem.state.tilts_out[:nv])
+    for i, vid in enumerate(problem.vertex_ids):
+        v = mesh.vertices[int(vid)]
+        v.position[:] = pos[i]
+        v.tilt[:] = tilts[i]
+        v.tilt_in[:] = tilts_in[i]
+        v.tilt_out[:] = tilts_out[i]

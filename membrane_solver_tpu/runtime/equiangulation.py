@@ -1,0 +1,249 @@
+"""Equiangulation: Delaunay edge flips on a triangulated mesh.
+
+Parity: reference ``runtime/equiangulation.py`` — flip an interior edge when
+the sum of the two opposite angles (measured in a local tangent-plane
+projection of the quadrilateral) exceeds pi + 1e-3; flips are applied
+sequentially in ascending edge-id order, each validated against normal
+inversion (dot(new, old) < -0.5 reverts); iterate passes to convergence
+(max 100); fixed edges are never flipped; new diagonal edges take fresh
+max+1 ids.
+
+Sequential flips are inherently order-dependent, so this stays a host-side
+pass (it runs a handful of times per evolution); the converged Delaunay
+property is what downstream physics depends on.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import numpy as np
+
+from membrane_solver_tpu.geometry.entities import Edge, Facet
+from membrane_solver_tpu.geometry.mesh import Mesh
+
+logger = logging.getLogger("membrane_solver_tpu")
+
+DELAUNAY_MARGIN = 1e-3
+
+
+def equiangulate_mesh(mesh: Mesh, max_iterations: int = 100) -> Mesh:
+    try:
+        mesh.build_connectivity_maps()
+        mesh.full_mesh_validate()
+    except Exception as exc:
+        logger.warning("Skipping equiangulation: validation failed before start: %s", exc)
+        return mesh
+
+    current = mesh
+    for iteration in range(max_iterations):
+        new_mesh, changed = equiangulate_iteration(current)
+        if not changed:
+            try:
+                new_mesh.full_mesh_validate()
+            except Exception as exc:
+                logger.error("Mesh validation failed after equiangulation: %s", exc)
+                return mesh
+            logger.info("Equiangulation converged in %d iterations", iteration)
+            return new_mesh
+        current = new_mesh
+    logger.warning("Equiangulation reached maximum iterations (%d)", max_iterations)
+    try:
+        current.full_mesh_validate()
+    except Exception as exc:
+        logger.error("Mesh validation failed after equiangulation: %s", exc)
+        return mesh
+    return current
+
+
+def equiangulate_iteration(mesh: Mesh) -> Tuple[Mesh, bool]:
+    """One pass over all edges; returns (new mesh, any flips applied)."""
+    out = mesh.copy_shell()
+    out.build_connectivity_maps(force=True)
+
+    changed = False
+    next_edge_idx = max(out.edges) + 1 if out.edges else 1
+
+    for edge_idx in list(out.edges.keys()):
+        if edge_idx not in out.edges:
+            continue
+        edge = out.edges[edge_idx]
+        if edge.fixed:
+            continue
+        adjacent = out.facets_of_edge(edge_idx)
+        if len(adjacent) != 2:
+            continue
+        facet1, facet2 = adjacent
+        if len(facet1.edge_indices) != 3 or len(facet2.edge_indices) != 3:
+            continue
+        if should_flip_edge(out, edge, facet1, facet2):
+            if flip_edge_safe(out, edge_idx, facet1, facet2, next_edge_idx):
+                changed = True
+                next_edge_idx += 1
+                out.mark_topology_changed()
+                out.build_connectivity_maps(force=True)
+    return out, changed
+
+
+def _off_vertex(mesh: Mesh, facet: Facet, edge: Edge) -> Optional[int]:
+    if len(facet.edge_indices) != 3:
+        return None
+    verts: set = set()
+    for signed_ei in facet.edge_indices:
+        e = mesh.get_edge(signed_ei)
+        verts.add(e.tail_index)
+        verts.add(e.head_index)
+    if len(verts) != 3:
+        return None
+    off = verts - {edge.tail_index, edge.head_index}
+    return off.pop() if len(off) == 1 else None
+
+
+def should_flip_edge(mesh: Mesh, edge: Edge, facet1: Facet, facet2: Facet) -> bool:
+    """Delaunay criterion via tangent-plane projection of the quadrilateral."""
+    off1 = _off_vertex(mesh, facet1, edge)
+    off2 = _off_vertex(mesh, facet2, edge)
+    if off1 is None or off2 is None:
+        return False
+
+    p1 = mesh.vertices[edge.tail_index].position
+    p2 = mesh.vertices[edge.head_index].position
+    q1 = mesh.vertices[off1].position
+    q2 = mesh.vertices[off2].position
+
+    n1 = np.cross(p2 - p1, q1 - p1)
+    n2 = np.cross(q2 - p1, p2 - p1)
+    n = n1 + n2
+    if np.linalg.norm(n) < 1e-12:
+        n = n1 if np.linalg.norm(n1) >= 1e-12 else n2
+    n_norm = np.linalg.norm(n)
+    if n_norm < 1e-12:
+        return False
+    n = n / n_norm
+
+    edge_vec = p2 - p1
+    edge_len = np.linalg.norm(edge_vec)
+    if edge_len < 1e-12:
+        return False
+    u = edge_vec / edge_len
+    v = np.cross(n, u)
+    v_norm = np.linalg.norm(v)
+    if v_norm < 1e-12:
+        return False
+    v = v / v_norm
+
+    def proj(p):
+        rel = p - p1
+        return np.array([np.dot(rel, u), np.dot(rel, v)])
+
+    a1, a2, b1, b2 = np.zeros(2), proj(p2), proj(q1), proj(q2)
+
+    def angle_at(p, x, y):
+        vx, vy = x - p, y - p
+        nx, ny = np.linalg.norm(vx), np.linalg.norm(vy)
+        if nx < 1e-12 or ny < 1e-12:
+            return None
+        return float(np.arccos(np.clip(np.dot(vx, vy) / (nx * ny), -1.0, 1.0)))
+
+    theta1 = angle_at(b1, a1, a2)
+    theta2 = angle_at(b2, a1, a2)
+    if theta1 is None or theta2 is None:
+        return False
+    return (theta1 + theta2) > (np.pi + DELAUNAY_MARGIN)
+
+
+def _connecting_edge(mesh: Mesh, v1: int, v2: int, candidates) -> Optional[int]:
+    for signed_ei in candidates:
+        e = mesh.get_edge(signed_ei)
+        if {e.tail_index, e.head_index} == {v1, v2}:
+            return abs(signed_ei)
+    return None
+
+
+def _oriented(mesh: Mesh, from_v: int, to_v: int, edge_idx: int) -> int:
+    e = mesh.edges[edge_idx]
+    if e.tail_index == from_v and e.head_index == to_v:
+        return edge_idx
+    if e.tail_index == to_v and e.head_index == from_v:
+        return -edge_idx
+    logger.error("Edge %d does not connect %d and %d", edge_idx, from_v, to_v)
+    return edge_idx
+
+
+def flip_edge_safe(
+    mesh: Mesh, edge_idx: int, facet1: Facet, facet2: Facet, new_edge_idx: int
+) -> bool:
+    """Replace the shared edge with the opposite diagonal; revert on bad normals."""
+    try:
+        edge = mesh.edges[edge_idx]
+        v1, v2 = edge.tail_index, edge.head_index
+        off1 = _off_vertex(mesh, facet1, edge)
+        off2 = _off_vertex(mesh, facet2, edge)
+        if off1 is None or off2 is None:
+            return False
+        try:
+            normal1_orig = mesh.facet_normal(facet1)
+            normal2_orig = mesh.facet_normal(facet2)
+        except ValueError:
+            return False
+
+        f1_others = [ei for ei in facet1.edge_indices if abs(ei) != edge_idx]
+        f2_others = [ei for ei in facet2.edge_indices if abs(ei) != edge_idx]
+        e_v1_off1 = _connecting_edge(mesh, v1, off1, f1_others)
+        e_v2_off1 = _connecting_edge(mesh, v2, off1, f1_others)
+        e_v1_off2 = _connecting_edge(mesh, v1, off2, f2_others)
+        e_v2_off2 = _connecting_edge(mesh, v2, off2, f2_others)
+        if None in (e_v1_off1, e_v2_off1, e_v1_off2, e_v2_off2):
+            return False
+
+        new_edge = Edge(
+            index=new_edge_idx,
+            tail_index=off1,
+            head_index=off2,
+            fixed=edge.fixed,
+            options=dict(edge.options),
+        )
+        # triangle 1: (v1, off1, off2); triangle 2: (v2, off2, off1)
+        new_f1 = [
+            _oriented(mesh, v1, off1, e_v1_off1),
+            new_edge_idx,
+            _oriented(mesh, off2, v1, e_v1_off2),
+        ]
+        new_f2 = [
+            _oriented(mesh, v2, off2, e_v2_off2),
+            -new_edge_idx,
+            _oriented(mesh, off1, v2, e_v2_off1),
+        ]
+
+        old_f1_edges = list(facet1.edge_indices)
+        old_f2_edges = list(facet2.edge_indices)
+
+        del mesh.edges[edge_idx]
+        mesh.edges[new_edge_idx] = new_edge
+        facet1.edge_indices = new_f1
+        facet2.edge_indices = new_f2
+
+        def revert():
+            del mesh.edges[new_edge_idx]
+            mesh.edges[edge_idx] = edge
+            facet1.edge_indices = old_f1_edges
+            facet2.edge_indices = old_f2_edges
+
+        try:
+            if (
+                np.dot(mesh.facet_normal(facet1), normal1_orig) < -0.5
+                or np.dot(mesh.facet_normal(facet2), normal2_orig) < -0.5
+            ):
+                logger.warning(
+                    "Edge flip created inverted normals, reverting edge %d", edge_idx
+                )
+                revert()
+                return False
+        except ValueError:
+            revert()
+            return False
+        return True
+    except Exception as exc:  # defensive: never corrupt the mesh on failure
+        logger.warning("Edge flip failed for edge %d: %s", edge_idx, exc)
+        return False

@@ -1,0 +1,591 @@
+"""Jitted minimization core: energy assembly, Armijo line search, steppers.
+
+This is the TPU-native rebuild of the reference's hot path:
+
+- energy/gradient assembly      (runtime/evaluation_manager.py:20-743,
+                                 runtime/minimizer.py:940-991)
+- Armijo backtracking line search with max-displacement/normal-flip safety
+                                (runtime/steppers/line_search.py:261-529)
+- gradient-descent / conjugate-gradient / BFGS steppers
+                                (runtime/steppers/{gradient_descent,
+                                 conjugate_gradient,bfgs}.py)
+- the outer minimize iteration  (runtime/minimizer.py:1176-1531)
+
+Everything below runs under one `jax.jit` per (ProblemSpec, options) pair as a
+fixed-shape `lax.while_loop`; topology changes that keep capacities constant
+re-use the compiled executable.  Gradients come from `jax.value_and_grad`
+through the energy assembly (equivalent to the reference's analytic gradients,
+which are themselves hand-written backprop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from membrane_solver_tpu.device import geo as dgeo
+from membrane_solver_tpu.device.state import MeshState, ProblemSpec, Topology
+from membrane_solver_tpu.energy import get_module
+
+# Armijo line-search constants (reference line_search.py defaults)
+LS_MAX_ITER = 10
+LS_BETA = 0.7
+LS_C = 1e-4
+LS_GAMMA = 1.5
+LS_ALPHA_MAX_FACTOR = 10.0
+LS_ALPHA_FLOOR = 1e-8
+SAFE_STEP_FRACTION = 0.3
+NORMAL_LIMIT_RADIANS = 0.5
+
+
+# ----------------------------------------------------------------------
+# energy assembly
+# ----------------------------------------------------------------------
+def active_energy_modules(spec: ProblemSpec) -> Tuple[str, ...]:
+    """Module names that can contribute under the current mode switches."""
+    names = []
+    for name in spec.energy_modules:
+        if name == "volume" and spec.volume_mode != "penalty":
+            continue  # soft penalty inactive in lagrange mode (volume.py:21-23)
+        names.append(name)
+    return tuple(names)
+
+
+def make_total_energy(spec: ProblemSpec) -> Callable:
+    """Return total_energy(state, topo, params) -> scalar."""
+    modules = [get_module(name) for name in active_energy_modules(spec)]
+
+    def total_energy(state: MeshState, topo: Topology, params: Dict) -> jnp.ndarray:
+        geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
+        e = jnp.asarray(0.0, dtype=state.positions.dtype)
+        for module in modules:
+            e = e + module.energy(geo, state, topo, params)
+        return e
+
+    return total_energy
+
+
+def make_energy_of_positions(spec: ProblemSpec) -> Callable:
+    """Return energy_fn(positions, state, topo, params) with tilts held fixed."""
+    total = make_total_energy(spec)
+
+    def energy_fn(positions, state, topo, params):
+        return total(dataclasses.replace(state, positions=positions), topo, params)
+
+    return energy_fn
+
+
+# ----------------------------------------------------------------------
+# constraint KKT projection of the shape gradient
+# ----------------------------------------------------------------------
+def make_constraint_gradients(spec: ProblemSpec) -> Callable:
+    """Return fn(state, topo, params) -> (k, Nv, 3) stacked constraint gradients.
+
+    Parity: constraint modules' ``constraint_gradients_array`` collected by
+    runtime/constraint_manager.py:apply_gradient_modifications_array.
+    k is static (compile-time): one row per body with a volume target when the
+    volume constraint is active, plus rows from other registered constraints.
+    """
+    from membrane_solver_tpu.constraints import get_constraint
+
+    builders = []
+    for name in dict.fromkeys(spec.constraint_modules):
+        mod = get_constraint(name)
+        fn = getattr(mod, "constraint_gradient_rows", None)
+        if fn is not None:
+            builders.append(fn)
+
+    if not builders:
+        return lambda state, topo, params: None
+
+    def all_gradients(state, topo, params):
+        rows = []
+        for fn in builders:
+            out = fn(state, topo, params)
+            if out is not None:
+                rows.append(out)
+        if not rows:
+            return None
+        return jnp.concatenate(rows, axis=0)
+
+    return all_gradients
+
+
+def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
+    """Project grad against the span of constraint gradients (KKT solve).
+
+    Parity: runtime/constraint_manager.py:300-315 (1-constraint fast path) and
+    runtime/constraint_projection.py KKT ``A lam = b`` with tiny dense A.
+    """
+    if constraint_grads is None:
+        return grad
+    k = constraint_grads.shape[0]
+    flatg = grad.reshape(-1)
+    G = constraint_grads.reshape(k, -1)
+    if k == 1:
+        gC = G[0]
+        norm_sq = jnp.dot(gC, gC)
+        lam = jnp.where(norm_sq > 1e-18, jnp.dot(flatg, gC) / jnp.maximum(norm_sq, 1e-18), 0.0)
+        return (flatg - lam * gC).reshape(grad.shape)
+    A = G @ G.T + 1e-18 * jnp.eye(k, dtype=grad.dtype)
+    b = G @ flatg
+    lam = jnp.linalg.solve(A, b)
+    return (flatg - lam @ G).reshape(grad.shape)
+
+
+# ----------------------------------------------------------------------
+# geometric constraint enforcement (hard projections between/inside steps)
+# ----------------------------------------------------------------------
+def make_constraint_enforcer(spec: ProblemSpec) -> Callable | None:
+    """Return enforce(state, topo, params, strong: bool) -> state, or None.
+
+    Parity: runtime/constraint_manager.py:enforce_all — geometric projections
+    (volume Lagrange projection, pins) applied after mesh ops and optionally
+    per line-search trial.
+    """
+    from membrane_solver_tpu.constraints import get_constraint
+
+    enforcers = []
+    for name in dict.fromkeys(spec.constraint_modules):
+        mod = get_constraint(name)
+        fn = getattr(mod, "enforce", None)
+        if fn is not None:
+            enforcers.append(fn)
+    if not enforcers:
+        return None
+
+    def enforce(state, topo, params, strong=False):
+        for fn in enforcers:
+            state = fn(state, topo, params, strong=strong)
+        return state
+
+    return enforce
+
+
+# ----------------------------------------------------------------------
+# line search
+# ----------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LineSearchResult:
+    success: jnp.ndarray  # bool
+    new_step: jnp.ndarray  # f64
+    energy: jnp.ndarray  # accepted energy (or energy0 on failure)
+    positions: jnp.ndarray  # accepted positions (or baseline on failure)
+
+
+def armijo_line_search(
+    energy_at: Callable,  # positions -> scalar
+    positions: jnp.ndarray,
+    grad: jnp.ndarray,
+    direction: jnp.ndarray,
+    step_size: jnp.ndarray,
+    energy0: jnp.ndarray,
+    movable: jnp.ndarray,  # (Nv,) bool
+    topo: Topology,
+    enforce_positions: Callable | None = None,
+) -> LineSearchResult:
+    """Functional Armijo backtracking (reference line_search.py:261-529).
+
+    Pure trial-position evaluation: the caller's state is never mutated;
+    accepted positions are returned.  Safety: steps displacing any vertex by
+    more than 0.3x the min edge length must not rotate any triangle normal by
+    more than 0.5 rad nor collapse a triangle (checked on the raw trial,
+    before constraint enforcement).  When ``enforce_positions`` is given,
+    hard-constraint geometric projection runs on every trial before the
+    energy evaluation (the reference's constraint_enforcer path,
+    line_search.py:440-448).
+    """
+    dtype = positions.dtype
+    min_edge = dgeo.min_edge_length(positions, topo.edge_rows, topo.edge_valid)
+    safe_limit = jnp.where(min_edge > 0, SAFE_STEP_FRACTION * min_edge, jnp.inf)
+
+    dir_norms = jnp.linalg.norm(direction, axis=1)
+    max_dir_norm = jnp.max(jnp.where(movable, dir_norms, 0.0))
+    g_dot_d = jnp.sum(grad * direction)
+
+    alpha0 = step_size
+    alpha_max = LS_ALPHA_MAX_FACTOR * step_size
+
+    def trial_of(alpha):
+        return jnp.where(movable[:, None], positions + alpha * direction, positions)
+
+    Carry = Tuple  # (k, alpha, done, success, acc_E, acc_alpha)
+
+    def cond(carry):
+        k, alpha, done, success, _, _ = carry
+        return (~done) & (k < LS_MAX_ITER)
+
+    def body(carry):
+        k, alpha, done, success, acc_E, acc_alpha = carry
+        trial = trial_of(alpha)
+        is_safe_small = (alpha * max_dir_norm) < safe_limit
+        normals_ok = is_safe_small | dgeo.check_normal_rotation(
+            positions, trial, topo.tri_rows, topo.tri_valid, NORMAL_LIMIT_RADIANS
+        )
+
+        def eval_and_decide(_):
+            effective = enforce_positions(trial) if enforce_positions is not None else trial
+            E_t = energy_at(effective)
+            accept = E_t <= energy0 + LS_C * alpha * g_dot_d
+            return accept, E_t
+
+        accept, E_t = jax.lax.cond(
+            normals_ok, eval_and_decide, lambda _: (jnp.asarray(False), jnp.asarray(jnp.inf, dtype)), None
+        )
+
+        new_alpha = jnp.where(accept, alpha, alpha * LS_BETA)
+        new_done = accept | (new_alpha < LS_ALPHA_FLOOR)
+        return (
+            k + 1,
+            new_alpha,
+            new_done,
+            success | accept,
+            jnp.where(accept, E_t, acc_E),
+            jnp.where(accept, alpha, acc_alpha),
+        )
+
+    # Non-descent direction: skip the search entirely (line_search.py:319-322).
+    descent = g_dot_d < 0.0
+    init = (
+        jnp.asarray(0),
+        alpha0,
+        ~descent,  # done immediately when not a descent direction
+        jnp.asarray(False),
+        energy0,
+        jnp.asarray(0.0, dtype),
+    )
+    k, alpha, done, success, acc_E, acc_alpha = jax.lax.while_loop(cond, body, init)
+    success = success & descent
+
+    accepted_trial = trial_of(acc_alpha)
+    if enforce_positions is not None:
+        accepted_trial = enforce_positions(accepted_trial)
+    final_positions = jnp.where(success, accepted_trial, positions)
+    new_step = jnp.where(
+        success,
+        jnp.minimum(acc_alpha * LS_GAMMA, alpha_max),
+        jnp.where(descent, jnp.maximum(alpha * LS_BETA, step_size * LS_BETA), step_size),
+    )
+    final_E = jnp.where(success, acc_E, energy0)
+    return LineSearchResult(
+        success=success, new_step=new_step, energy=final_E, positions=final_positions
+    )
+
+
+# ----------------------------------------------------------------------
+# steppers (functional state)
+# ----------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepperState:
+    """Carry for CG (prev grad/direction) and BFGS (inverse Hessian).
+
+    GD ignores everything.  Kept at fixed shapes so one pytree serves all
+    stepper kinds under jit.
+    """
+
+    prev_grad: jnp.ndarray  # (Nv, 3)
+    prev_dir: jnp.ndarray  # (Nv, 3)
+    have_prev: jnp.ndarray  # bool
+    iters_since_restart: jnp.ndarray  # int32
+
+
+def fresh_stepper_state(nv_cap: int, dtype=jnp.float64) -> StepperState:
+    z = jnp.zeros((nv_cap, 3), dtype=dtype)
+    return StepperState(
+        prev_grad=z,
+        prev_dir=z,
+        have_prev=jnp.asarray(False),
+        iters_since_restart=jnp.asarray(0, jnp.int32),
+    )
+
+
+CG_RESTART_INTERVAL = 10
+
+
+def stepper_direction(
+    kind: str, grad: jnp.ndarray, ss: StepperState
+) -> Tuple[jnp.ndarray, StepperState]:
+    """Compute the descent direction for the active stepper kind (static)."""
+    if kind == "gradient_descent":
+        return -grad, ss
+    if kind == "conjugate_gradient":
+        # Polak-Ribiere+ with periodic restart (conjugate_gradient.py:17-170)
+        denom = jnp.sum(ss.prev_grad * ss.prev_grad)
+        beta_pr = jnp.sum(grad * (grad - ss.prev_grad)) / jnp.maximum(denom, 1e-300)
+        beta_pr = jnp.maximum(beta_pr, 0.0)
+        restart = (
+            (~ss.have_prev)
+            | (ss.iters_since_restart >= CG_RESTART_INTERVAL)
+            | (denom <= 1e-300)
+        )
+        direction = jnp.where(restart, -grad, -grad + beta_pr * ss.prev_dir)
+        # fall back to steepest descent when the CG direction is not descent
+        descent = jnp.sum(direction * grad) < 0
+        direction = jnp.where(descent, direction, -grad)
+        new_ss = StepperState(
+            prev_grad=grad,
+            prev_dir=direction,
+            have_prev=jnp.asarray(True),
+            iters_since_restart=jnp.where(
+                restart | ~descent, jnp.asarray(1, jnp.int32), ss.iters_since_restart + 1
+            ),
+        )
+        return direction, new_ss
+    raise ValueError(f"unknown stepper kind {kind!r}")
+
+
+# ----------------------------------------------------------------------
+# minimize block
+# ----------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MinimizeStats:
+    iterations: jnp.ndarray  # int32 completed iterations in this block
+    energy: jnp.ndarray  # last assembled energy (pre-step of final iter)
+    accepted_energy: jnp.ndarray
+    grad_norm: jnp.ndarray
+    step_size: jnp.ndarray
+    step_success: jnp.ndarray  # bool
+    converged: jnp.ndarray  # bool
+    terminated_early: jnp.ndarray  # bool (zero-step exit)
+    zero_step_counter: jnp.ndarray  # int32 (carried across blocks)
+
+
+@dataclasses.dataclass(frozen=True)
+class MinimizeOptions:
+    """Static compile-time switches for a minimize block."""
+
+    stepper: str = "gradient_descent"
+    step_size_mode: str = "adaptive"  # or "fixed"
+    enforce_in_line_search: bool = False
+
+
+def _minimize_block_impl(
+    spec: ProblemSpec,
+    options: MinimizeOptions,
+    state: MeshState,
+    topo: Topology,
+    params: Dict,
+    stepper_state: StepperState,
+    n_steps: jnp.ndarray,
+    step_size: jnp.ndarray,
+    fixed_step: jnp.ndarray,
+    tol: jnp.ndarray,
+    step_size_floor: jnp.ndarray,
+    max_zero_steps: jnp.ndarray,
+    zero_step_counter: jnp.ndarray,
+):
+    total = make_total_energy(spec)
+    energy_of_positions = make_energy_of_positions(spec)
+    constraint_grads_fn = make_constraint_gradients(spec)
+    enforcer = make_constraint_enforcer(spec) if options.enforce_in_line_search else None
+    dtype = state.positions.dtype
+
+    def value_and_grad_projected(state):
+        E, g = jax.value_and_grad(
+            lambda p: energy_of_positions(p, state, topo, params)
+        )(state.positions)
+        E = jnp.asarray(E, dtype)
+        # KKT projection sees the un-zeroed gradient and full constraint
+        # gradients; fixed rows are zeroed afterwards (minimizer.py:984-989).
+        cg = constraint_grads_fn(state, topo, params)
+        if cg is not None:
+            g = project_gradient_kkt(g, cg)
+        g = jnp.where(topo.fixed_mask[:, None], 0.0, g)
+        return E, g
+
+    movable = ~topo.fixed_mask
+
+    def cond(carry):
+        (state, ss, i, step_size, zero_steps, done, *_rest) = carry
+        return (~done) & (i < n_steps)
+
+    def body(carry):
+        (
+            state,
+            ss,
+            i,
+            step_size,
+            zero_steps,
+            done,
+            converged,
+            terminated_early,
+            step_success,
+            last_E,
+            last_acc_E,
+            last_gnorm,
+        ) = carry
+
+        E, grad = value_and_grad_projected(state)
+        gnorm = jnp.linalg.norm(grad)
+        now_converged = gnorm < tol
+
+        def do_step(_):
+            fixed_mode = options.step_size_mode == "fixed"  # static switch
+            step_in = fixed_step if fixed_mode else step_size
+            direction, new_ss = stepper_direction(options.stepper, grad, ss)
+            enforce_p = None
+            if enforcer is not None:
+                def enforce_p(p):  # noqa: E306
+                    st = enforcer(
+                        dataclasses.replace(state, positions=p), topo, params, strong=False
+                    )
+                    return st.positions
+
+            ls = armijo_line_search(
+                lambda p: energy_of_positions(p, state, topo, params),
+                state.positions,
+                grad,
+                direction,
+                step_in,
+                E,
+                movable,
+                topo,
+                enforce_positions=enforce_p,
+            )
+            new_state = dataclasses.replace(state, positions=ls.positions)
+            new_step_size = fixed_step if fixed_mode else ls.new_step
+            # zero-step bookkeeping (minimizer.py:1425-1452); the floor check
+            # uses the post-update (post-mode) step size.
+            at_floor = new_step_size <= step_size_floor
+            new_zero = jnp.where(
+                ls.success,
+                0,
+                jnp.where(at_floor, zero_steps + 1, 0),
+            ).astype(zero_steps.dtype)
+            early = (~ls.success) & at_floor & (new_zero >= max_zero_steps)
+            # stepper reset on failure (reference resets CG/BFGS state)
+            reset_ss = jax.lax.cond(
+                ls.success,
+                lambda: new_ss,
+                lambda: fresh_stepper_state(spec.nv_cap, dtype),
+            )
+            return (
+                new_state,
+                reset_ss,
+                new_step_size,
+                new_zero,
+                early,
+                ls.success,
+                ls.energy,
+            )
+
+        def skip_step(_):
+            return (state, ss, step_size, zero_steps, jnp.asarray(False), jnp.asarray(True), E)
+
+        (
+            new_state,
+            new_ss,
+            new_step_size,
+            new_zero,
+            early,
+            success,
+            acc_E,
+        ) = jax.lax.cond(now_converged, skip_step, do_step, None)
+
+        new_done = now_converged | early
+        return (
+            new_state,
+            new_ss,
+            i + 1,
+            new_step_size,
+            new_zero,
+            new_done,
+            now_converged,
+            early,
+            success,
+            E,
+            acc_E,
+            gnorm,
+        )
+
+    zero_i32 = jnp.asarray(0, jnp.int32)
+    init = (
+        state,
+        stepper_state,
+        zero_i32,
+        jnp.asarray(step_size, dtype),
+        jnp.asarray(zero_step_counter, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(True),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    (
+        state,
+        ss,
+        i,
+        step_size,
+        zero_steps,
+        done,
+        converged,
+        terminated_early,
+        step_success,
+        last_E,
+        last_acc_E,
+        last_gnorm,
+    ) = jax.lax.while_loop(cond, body, init)
+
+    stats = MinimizeStats(
+        iterations=i,
+        energy=last_E,
+        accepted_energy=last_acc_E,
+        grad_norm=last_gnorm,
+        step_size=step_size,
+        step_success=step_success,
+        converged=converged,
+        terminated_early=terminated_early,
+        zero_step_counter=zero_steps,
+    )
+    return state, ss, stats
+
+
+_BLOCK_CACHE: Dict[Tuple, Callable] = {}
+
+
+def minimize_block(spec: ProblemSpec, options: MinimizeOptions) -> Callable:
+    """Jitted minimize block for a given static (spec, options)."""
+    key = (spec, options)
+    if key not in _BLOCK_CACHE:
+        _BLOCK_CACHE[key] = jax.jit(
+            partial(_minimize_block_impl, spec, options)
+        )
+    return _BLOCK_CACHE[key]
+
+
+def make_energy_value(spec: ProblemSpec) -> Callable:
+    """Jitted total-energy evaluation for a spec."""
+    key = (spec, "__energy__")
+    if key not in _BLOCK_CACHE:
+        _BLOCK_CACHE[key] = jax.jit(make_total_energy(spec))
+    return _BLOCK_CACHE[key]
+
+
+def make_energy_and_grad(spec: ProblemSpec) -> Callable:
+    """Jitted (E, projected grad) evaluation matching the in-loop assembly."""
+    key = (spec, "__energy_grad__")
+    if key not in _BLOCK_CACHE:
+        energy_of_positions = make_energy_of_positions(spec)
+        constraint_grads_fn = make_constraint_gradients(spec)
+
+        def impl(state, topo, params):
+            E, g = jax.value_and_grad(
+                lambda p: energy_of_positions(p, state, topo, params)
+            )(state.positions)
+            cg = constraint_grads_fn(state, topo, params)
+            if cg is not None:
+                g = project_gradient_kkt(g, cg)
+            g = jnp.where(topo.fixed_mask[:, None], 0.0, g)
+            return E, g
+
+        _BLOCK_CACHE[key] = jax.jit(impl)
+    return _BLOCK_CACHE[key]

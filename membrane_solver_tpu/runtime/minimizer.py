@@ -1,0 +1,321 @@
+"""Host orchestration of the jitted minimization loop.
+
+Parity: reference ``runtime/minimizer.py`` (Minimizer.minimize outer loop,
+energy/gradient entry points, constraint enforcement after mesh ops,
+auto mesh-quality repair cadence, zero-step early termination).
+
+Division of labor (TPU-native): the per-iteration numerics run on device in
+blocks of up to ``mesh_quality_auto_repair_every`` iterations
+(`jit_core.minimize_block`); this class owns mesh compilation, chunk
+scheduling, the host-side quality-repair/equiangulation hook, and result
+bookkeeping.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from membrane_solver_tpu.constraints import ConstraintModuleManager, get_constraint
+from membrane_solver_tpu.core.parameters import GlobalParameters, ParameterResolver
+from membrane_solver_tpu.device.state import (
+    CompiledProblem,
+    build_params,
+    compile_state,
+    writeback,
+)
+from membrane_solver_tpu.energy import EnergyModuleManager, get_module
+from membrane_solver_tpu.geometry.mesh import Mesh
+from membrane_solver_tpu.runtime import jit_core
+from membrane_solver_tpu.runtime.steppers import BaseStepper, GradientDescent
+
+logger = logging.getLogger("membrane_solver_tpu")
+
+
+class Minimizer:
+    def __init__(
+        self,
+        mesh: Mesh,
+        global_params: Optional[GlobalParameters] = None,
+        stepper: Optional[BaseStepper] = None,
+        energy_manager: Optional[EnergyModuleManager] = None,
+        constraint_manager: Optional[ConstraintModuleManager] = None,
+        energy_modules=None,
+        constraint_modules=None,
+        step_size: float = 1e-3,
+        tol: float = 1e-6,
+        quiet: bool = False,
+    ):
+        self.mesh = mesh
+        self.global_params = global_params if global_params is not None else mesh.global_parameters
+        self.stepper = stepper if stepper is not None else GradientDescent()
+        self.step_size = float(step_size)
+        self.tol = float(tol)
+        self.quiet = quiet
+        self.param_resolver = ParameterResolver(self.global_params)
+
+        names = list(energy_modules if energy_modules is not None else mesh.energy_modules)
+        self.energy_module_names = names
+        self.energy_manager = energy_manager if energy_manager is not None else EnergyModuleManager(names)
+        self.energy_modules = [self.energy_manager.get_module(n) for n in names]
+
+        cons = list(
+            constraint_modules if constraint_modules is not None else mesh.constraint_modules
+        )
+        self.constraint_module_names = cons
+        self.constraint_manager = (
+            constraint_manager if constraint_manager is not None else ConstraintModuleManager(cons)
+        )
+        self.constraint_modules = [get_constraint(n) for n in cons]
+        self._has_enforceable_constraints = any(
+            hasattr(m, "enforce") for m in self.constraint_modules
+        )
+
+        self._problem: Optional[CompiledProblem] = None
+        self._stepper_state = None
+        self._params_fingerprint = None
+
+    # ------------------------------------------------------------------
+    # compilation plumbing
+    # ------------------------------------------------------------------
+    @property
+    def max_zero_steps(self) -> int:
+        return int(self.global_params.get("max_zero_steps", 10))
+
+    @property
+    def step_size_floor(self) -> float:
+        return float(self.global_params.get("step_size_floor", 1e-8))
+
+    def invalidate(self) -> None:
+        """Force recompilation of device arrays from the host mesh."""
+        self._problem = None
+        self._stepper_state = None
+
+    def set_mesh(self, mesh: Mesh) -> None:
+        self.mesh = mesh
+        self.invalidate()
+
+    def reset_soa_caches(self) -> None:  # reference-compatible name
+        self.invalidate()
+
+    def _fingerprint_params(self):
+        gp = self.global_params.to_dict()
+        return tuple(sorted((k, repr(v)) for k, v in gp.items()))
+
+    def problem(self) -> CompiledProblem:
+        fp = self._fingerprint_params()
+        if self._problem is None or fp != self._params_fingerprint:
+            if self._problem is not None:
+                # keep device-evolved state: sync host first
+                writeback(self._problem, self.mesh)
+            self._problem = compile_state(self.mesh)
+            # module lists can be overridden relative to the mesh
+            self._problem.spec = self._problem.spec.__class__(
+                energy_modules=tuple(self.energy_module_names),
+                constraint_modules=tuple(self.constraint_module_names),
+                volume_mode=str(self.global_params.get("volume_constraint_mode", "lagrange")),
+                nv_cap=self._problem.spec.nv_cap,
+                nf_cap=self._problem.spec.nf_cap,
+                ne_cap=self._problem.spec.ne_cap,
+                nb_cap=self._problem.spec.nb_cap,
+            )
+            self._params_fingerprint = fp
+            self._stepper_state = jit_core.fresh_stepper_state(self._problem.spec.nv_cap)
+        return self._problem
+
+    def _sync_host(self) -> None:
+        if self._problem is not None:
+            writeback(self._problem, self.mesh)
+
+    # ------------------------------------------------------------------
+    # energy entry points
+    # ------------------------------------------------------------------
+    def compute_energy(self) -> float:
+        p = self.problem()
+        p.params = build_params(self.mesh)
+        return float(jit_core.make_energy_value(p.spec)(p.state, p.topo, p.params))
+
+    def compute_energy_and_gradient_array(self):
+        p = self.problem()
+        p.params = build_params(self.mesh)
+        E, g = jit_core.make_energy_and_grad(p.spec)(p.state, p.topo, p.params)
+        return float(E), np.asarray(g[: p.n_vertices])
+
+    def compute_energy_and_gradient(self):
+        E, g = self.compute_energy_and_gradient_array()
+        p = self.problem()
+        return E, {int(vid): g[i] for i, vid in enumerate(p.vertex_ids)}
+
+    def compute_energy_breakdown(self) -> Dict[str, float]:
+        p = self.problem()
+        p.params = build_params(self.mesh)
+        from membrane_solver_tpu.device import geo as dgeo
+
+        geo = dgeo.triangle_geometry(p.state.positions, p.topo.tri_rows, p.topo.tri_valid)
+        out: Dict[str, float] = {}
+        for name in jit_core.active_energy_modules(p.spec):
+            module = get_module(name)
+            out[name] = float(module.energy(geo, p.state, p.topo, p.params))
+        return out
+
+    # ------------------------------------------------------------------
+    # constraint enforcement
+    # ------------------------------------------------------------------
+    def enforce_constraints_after_mesh_ops(self, mesh: Mesh | None = None) -> None:
+        """Hard geometric projection after topology surgery (strong context)."""
+        if mesh is not None and mesh is not self.mesh:
+            self.set_mesh(mesh)
+        if not self._has_enforceable_constraints:
+            return
+        p = self.problem()
+        enforce = jit_core.make_constraint_enforcer(p.spec)
+        if enforce is not None:
+            p.state = enforce(p.state, p.topo, p.params, strong=True)
+            self._sync_host()
+            self.mesh.project_tilts_to_tangent()
+
+    def _enforce_constraints(self, mesh: Mesh | None = None) -> None:
+        if not self._has_enforceable_constraints:
+            return
+        p = self.problem()
+        enforce = jit_core.make_constraint_enforcer(p.spec)
+        if enforce is not None:
+            p.state = enforce(p.state, p.topo, p.params, strong=False)
+
+    # ------------------------------------------------------------------
+    # the outer loop
+    # ------------------------------------------------------------------
+    def minimize(
+        self, n_steps: int = 1, callback: Optional[Callable[[Mesh, int], None]] = None
+    ) -> dict:
+        p = self.problem()
+        p.params = build_params(self.mesh)
+
+        if n_steps <= 0:
+            E, grad = self.compute_energy_and_gradient()
+            self._enforce_constraints()
+            self._sync_host()
+            return {
+                "energy": float(self.compute_energy()),
+                "gradient": grad,
+                "mesh": self.mesh,
+                "step_success": True,
+                "iterations": 0,
+                "terminated_early": True,
+            }
+
+        if self._has_enforceable_constraints:
+            self.enforce_constraints_after_mesh_ops()
+            p = self.problem()
+
+        options = jit_core.MinimizeOptions(
+            stepper=self.stepper.name,
+            step_size_mode=str(self.global_params.get("step_size_mode", "adaptive") or "adaptive").lower(),
+            enforce_in_line_search=self._has_enforceable_constraints,
+        )
+        block = jit_core.minimize_block(p.spec, options)
+
+        repair_every = int(self.global_params.get("mesh_quality_auto_repair_every", 0) or 0)
+        repair_enabled = bool(self.global_params.get("mesh_quality_auto_repair_enabled", False))
+
+        fixed_step = float(self.global_params.get("step_size", self.step_size) or self.step_size)
+        zero_step_counter = 0
+        iterations_done = 0
+        step_success = True
+        last_grad = None
+        terminated = False
+        converged = False
+
+        while iterations_done < n_steps and not terminated:
+            if callback is not None:
+                self._sync_host()
+                callback(self.mesh, iterations_done)
+
+            if repair_enabled and repair_every > 0:
+                until_repair = repair_every - (iterations_done % repair_every)
+            else:
+                until_repair = n_steps
+            chunk = min(n_steps - iterations_done, until_repair)
+            if not self.quiet:
+                chunk = 1  # per-step reporting parity
+
+            p.state, self._stepper_state, stats = block(
+                p.state,
+                p.topo,
+                p.params,
+                self._stepper_state,
+                jnp.asarray(chunk, jnp.int32),
+                jnp.asarray(self.step_size),
+                jnp.asarray(fixed_step),
+                jnp.asarray(self.tol),
+                jnp.asarray(self.step_size_floor),
+                jnp.asarray(self.max_zero_steps, jnp.int32),
+                jnp.asarray(zero_step_counter, jnp.int32),
+            )
+            done_now = int(stats.iterations)
+            step_size_used = self.step_size
+            iterations_done += done_now
+            self.step_size = float(stats.step_size)
+            zero_step_counter = int(stats.zero_step_counter)
+            step_success = bool(stats.step_success)
+            last_grad = float(stats.grad_norm)
+            converged = bool(stats.converged)
+            terminated = converged or bool(stats.terminated_early)
+
+            if not self.quiet:
+                self._sync_host()
+                area = self.mesh.compute_total_surface_area()
+                energy = self.compute_energy()
+                print(
+                    f"Step {iterations_done - 1:4d}: Area = {area:.5f}, "
+                    f"Energy = {energy:.5f}, Step Size  = {step_size_used:.2e}"
+                )
+
+            if converged:
+                logger.info(
+                    "Converged in %d iterations; |gradE|=%.3e", iterations_done, last_grad
+                )
+                break
+            if terminated:
+                logger.info(
+                    "Terminating early after %d consecutive zero-steps with step "
+                    "size <= %.2e.",
+                    zero_step_counter,
+                    self.step_size_floor,
+                )
+                break
+
+            # auto mesh-quality repair at the cadence boundary (host-side
+            # equiangulation; reference runtime/mesh_quality_repair.py)
+            if (
+                repair_enabled
+                and repair_every > 0
+                and iterations_done < n_steps
+                and iterations_done % repair_every == 0
+            ):
+                from membrane_solver_tpu.runtime.quality import maybe_auto_mesh_quality_repair
+
+                if maybe_auto_mesh_quality_repair(self):
+                    p = self.problem()
+                    block = jit_core.minimize_block(p.spec, options)
+
+        if self._has_enforceable_constraints:
+            p = self.problem()
+            enforce = jit_core.make_constraint_enforcer(p.spec)
+            if enforce is not None:
+                p.state = enforce(p.state, p.topo, p.params, strong=True)
+
+        self._sync_host()
+        self.mesh.project_tilts_to_tangent()
+        final_energy = float(self.compute_energy())
+        return {
+            "energy": final_energy,
+            "gradient": last_grad,
+            "mesh": self.mesh,
+            "step_success": step_success,
+            "iterations": iterations_done,
+            "terminated_early": terminated,
+        }
