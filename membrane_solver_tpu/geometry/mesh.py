@@ -92,8 +92,16 @@ class Mesh:
         self._connectivity_dirty = False
 
     def facets_of_edge(self, edge_index: int) -> List[Facet]:
+        """Facets adjacent to an edge, in raw set-iteration order.
+
+        NOTE: the order is load-bearing for equiangulation parity — which of
+        the two adjacent facets comes first decides the orientation of the
+        flipped diagonal triangles and hence whether the flip survives the
+        inverted-normal check (reference geometry/mesh.py:892-893 +
+        equiangulation.py:359-378).  Do not sort.
+        """
         self.build_connectivity_maps()
-        return [self.facets[f] for f in sorted(self.edge_to_facets.get(abs(edge_index), ()))]
+        return [self.facets[f] for f in self.edge_to_facets.get(abs(edge_index), ())]
 
     # ------------------------------------------------------------------
     # SoA views (row = position in sorted vertex-id order)
