@@ -29,9 +29,15 @@ package enables JAX x64 mode.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# Precision: float64 by default (parity with the reference solver).  Set
+# MEMBRANE_SOLVER_X64=0 to run in float32 — the high-throughput mode for TPU
+# hardware, whose f64 support is software-emulated.
+if os.environ.get("MEMBRANE_SOLVER_X64", "1") not in {"0", "false", "no"}:
+    jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 

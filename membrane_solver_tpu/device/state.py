@@ -24,7 +24,8 @@ import numpy as np
 
 from membrane_solver_tpu.geometry.mesh import Mesh
 
-F64 = jnp.float64
+from membrane_solver_tpu.utils.precision import default_float
+
 I32 = jnp.int32
 
 
@@ -196,7 +197,7 @@ def compile_state(
     topo = Topology(
         tri_rows=jnp.asarray(_pad2(tri_rows_np, nf_cap, 0), dtype=I32),
         tri_valid=jnp.asarray(_pad2(np.ones(nf, dtype=bool), nf_cap, False)),
-        tri_surface_tension=jnp.asarray(_pad2(gamma_np, nf_cap, 0.0), dtype=F64),
+        tri_surface_tension=jnp.asarray(_pad2(gamma_np, nf_cap, 0.0), dtype=default_float()),
         tri_body=jnp.asarray(tri_body_np, dtype=I32),
         edge_rows=jnp.asarray(_pad2(edge_rows_np, ne_cap, 0), dtype=I32),
         edge_valid=jnp.asarray(_pad2(np.ones(ne, dtype=bool), ne_cap, False)),
@@ -206,16 +207,16 @@ def compile_state(
         tilt_fixed_in_mask=jnp.asarray(_pad2(tfix_in, nv_cap, True)),
         tilt_fixed_out_mask=jnp.asarray(_pad2(tfix_out, nv_cap, True)),
         body_valid=jnp.asarray(_pad2(np.ones(nb, dtype=bool), nb_cap, False)),
-        body_target_volume=jnp.asarray(body_tv, dtype=F64),
+        body_target_volume=jnp.asarray(body_tv, dtype=default_float()),
         body_has_target=jnp.asarray(body_has_tv),
-        body_volume_stiffness=jnp.asarray(body_k, dtype=F64),
+        body_volume_stiffness=jnp.asarray(body_k, dtype=default_float()),
     )
 
     state = MeshState(
-        positions=jnp.asarray(_pad2(mesh.positions_array(), nv_cap, 0.0), dtype=F64),
-        tilts=jnp.asarray(_pad2(mesh.tilts_array(), nv_cap, 0.0), dtype=F64),
-        tilts_in=jnp.asarray(_pad2(mesh.tilts_in_array(), nv_cap, 0.0), dtype=F64),
-        tilts_out=jnp.asarray(_pad2(mesh.tilts_out_array(), nv_cap, 0.0), dtype=F64),
+        positions=jnp.asarray(_pad2(mesh.positions_array(), nv_cap, 0.0), dtype=default_float()),
+        tilts=jnp.asarray(_pad2(mesh.tilts_array(), nv_cap, 0.0), dtype=default_float()),
+        tilts_in=jnp.asarray(_pad2(mesh.tilts_in_array(), nv_cap, 0.0), dtype=default_float()),
+        tilts_out=jnp.asarray(_pad2(mesh.tilts_out_array(), nv_cap, 0.0), dtype=default_float()),
     )
 
     spec = ProblemSpec(
@@ -270,7 +271,7 @@ def build_params(mesh: Mesh) -> Dict[str, Any]:
     for key in _SCALAR_PARAM_KEYS:
         val = gp.get(key)
         if val is not None and isinstance(val, (int, float)) and not isinstance(val, bool):
-            params[key] = jnp.asarray(float(val), dtype=F64)
+            params[key] = jnp.asarray(float(val), dtype=default_float())
     return params
 
 

@@ -295,7 +295,11 @@ class StepperState:
     iters_since_restart: jnp.ndarray  # int32
 
 
-def fresh_stepper_state(nv_cap: int, dtype=jnp.float64) -> StepperState:
+def fresh_stepper_state(nv_cap: int, dtype=None) -> StepperState:
+    from membrane_solver_tpu.utils.precision import default_float
+
+    if dtype is None:
+        dtype = default_float()
     z = jnp.zeros((nv_cap, 3), dtype=dtype)
     return StepperState(
         prev_grad=z,
