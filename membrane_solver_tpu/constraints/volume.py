@@ -4,9 +4,10 @@ Parity: reference ``modules/constraints/volume.py``:
 - ``constraint_gradients_array`` -> one dense volume gradient per body with a
   target volume (KKT rows), active only in lagrange mode;
 - ``enforce_constraint`` -> iterative Lagrange projection
-  ``x -= lam * grad(V)`` until ``|V - V0| < tol`` (3 iterations in-loop, 12 in
-  finalize/mesh-op contexts), skipping fixed vertices in the update while the
-  normalization uses all rows.
+  ``x -= lam * grad(V)`` until ``|V - V0| < tol``; 3 iterations in the
+  minimize context, 12 in finalize/mesh-operation contexts
+  (volume.py:100-104); the update skips fixed vertices while the
+  normalization uses all rows (volume.py:132-145).
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 from membrane_solver_tpu.device import geo as dgeo
 
 TOL = 1e-12
-MAX_ITER_WEAK = 3
+MAX_ITER_MINIMIZE = 3
 MAX_ITER_STRONG = 12
 
 
@@ -55,9 +56,9 @@ def constraint_gradient_rows(state, topo, params):
     return jnp.stack([row(s) for s in range(nb_cap)], axis=0)
 
 
-def enforce(state, topo, params, strong: bool = False):
+def enforce(state, topo, params, context: str = "minimize"):
     """Geometric volume projection for every constrained body."""
-    max_iter = MAX_ITER_STRONG if strong else MAX_ITER_WEAK
+    max_iter = MAX_ITER_MINIMIZE if context == "minimize" else MAX_ITER_STRONG
     active = _body_active(topo)
     movable = (~topo.fixed_mask)[:, None].astype(state.positions.dtype)
     nb_cap = topo.body_valid.shape[0]

@@ -68,6 +68,7 @@ class Topology:
     edge_valid: jnp.ndarray  # (Ne_cap,) bool
     # vertices
     vertex_valid: jnp.ndarray  # (Nv_cap,) bool
+    boundary_vertex_mask: jnp.ndarray  # (Nv_cap,) bool (vertices on 1-facet edges)
     fixed_mask: jnp.ndarray  # (Nv_cap,) bool (True on padding)
     tilt_fixed_mask: jnp.ndarray  # (Nv_cap,) bool
     tilt_fixed_in_mask: jnp.ndarray  # (Nv_cap,) bool
@@ -77,6 +78,9 @@ class Topology:
     body_target_volume: jnp.ndarray  # (Nb_cap,) f64
     body_has_target: jnp.ndarray  # (Nb_cap,) bool
     body_volume_stiffness: jnp.ndarray  # (Nb_cap,) f64
+    # per-module compiled extras, namespaced "module/key" (a pytree dict leaf
+    # per array; contributed by modules' compile_topology hooks)
+    extras: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,10 +96,19 @@ class ProblemSpec:
     energy_modules: Tuple[str, ...]
     constraint_modules: Tuple[str, ...]
     volume_mode: str  # "penalty" | "lagrange"
-    nv_cap: int
-    nf_cap: int
-    ne_cap: int
-    nb_cap: int
+    volume_projection_during_minimization: bool = True
+    nv_cap: int = 0
+    nf_cap: int = 0
+    ne_cap: int = 0
+    nb_cap: int = 0
+    # mode-like global parameters that select code paths at trace time
+    static_options: Tuple[Tuple[str, str], ...] = ()
+
+    def option(self, key: str, default: str = "") -> str:
+        for k, v in self.static_options:
+            if k == key:
+                return v
+        return default
 
     @property
     def needs_curvature(self) -> bool:
@@ -103,6 +116,33 @@ class ProblemSpec:
             m.startswith("bending") or m.startswith("tilt_smoothness") or m == "mean_curvature_tilt"
             for m in self.energy_modules
         )
+
+
+@dataclasses.dataclass
+class CompileLayout:
+    """Host-side layout info passed to module compile_topology hooks.
+
+    Modules translate per-entity options into padded dense arrays with this:
+    ``row_of[vertex_id]`` -> vertex row, ``edge_slot_of[edge_id]`` -> edge row,
+    ``tri_slot_of[facet_id]`` -> triangle row, plus the padded capacities.
+    """
+
+    mesh: Mesh
+    vertex_ids: np.ndarray
+    row_of: Dict[int, int]
+    edge_ids: list
+    edge_slot_of: Dict[int, int]
+    tri_facet_ids: list
+    tri_slot_of: Dict[int, int]
+    body_ids: list
+    body_slot_of: Dict[int, int]
+    nv_cap: int
+    nf_cap: int
+    ne_cap: int
+    nb_cap: int
+
+    def pad_rows(self, arr: np.ndarray, cap: int, fill=0) -> np.ndarray:
+        return _pad2(np.asarray(arr), cap, fill)
 
 
 @dataclasses.dataclass
@@ -189,6 +229,13 @@ def compile_state(
         if "volume_stiffness" in body.options:
             body_k[bslot] = float(body.options["volume_stiffness"])
 
+    boundary = np.zeros(nv, dtype=bool)
+    for eid, fids in mesh.edge_to_facets.items():
+        if len(fids) == 1:
+            e = mesh.edges[eid]
+            boundary[row_of[e.tail_index]] = True
+            boundary[row_of[e.head_index]] = True
+
     fixed = mesh.fixed_mask()
     tfix = np.array([mesh.vertices[int(v)].tilt_fixed for v in vertex_ids], dtype=bool)
     tfix_in = np.array([mesh.vertices[int(v)].tilt_fixed_in for v in vertex_ids], dtype=bool)
@@ -202,6 +249,7 @@ def compile_state(
         edge_rows=jnp.asarray(_pad2(edge_rows_np, ne_cap, 0), dtype=I32),
         edge_valid=jnp.asarray(_pad2(np.ones(ne, dtype=bool), ne_cap, False)),
         vertex_valid=jnp.asarray(_pad2(np.ones(nv, dtype=bool), nv_cap, False)),
+        boundary_vertex_mask=jnp.asarray(_pad2(boundary, nv_cap, False)),
         fixed_mask=jnp.asarray(_pad2(fixed, nv_cap, True)),
         tilt_fixed_mask=jnp.asarray(_pad2(tfix, nv_cap, True)),
         tilt_fixed_in_mask=jnp.asarray(_pad2(tfix_in, nv_cap, True)),
@@ -223,11 +271,46 @@ def compile_state(
         energy_modules=tuple(mesh.energy_modules),
         constraint_modules=tuple(mesh.constraint_modules),
         volume_mode=str(gp.get("volume_constraint_mode", "lagrange")),
+        volume_projection_during_minimization=bool(
+            gp.get("volume_projection_during_minimization", True)
+        ),
+        nv_cap=nv_cap,
+        nf_cap=nf_cap,
+        ne_cap=ne_cap,
+        nb_cap=nb_cap,
+        static_options=collect_static_options(gp),
+    )
+
+    # per-module compiled extras (options/tags -> dense arrays)
+    layout = CompileLayout(
+        mesh=mesh,
+        vertex_ids=np.asarray(vertex_ids),
+        row_of=row_of,
+        edge_ids=list(edge_items),
+        edge_slot_of={int(eid): i for i, eid in enumerate(edge_items)},
+        tri_facet_ids=list(tri_fids),
+        tri_slot_of={int(fid): i for i, fid in enumerate(tri_fids)},
+        body_ids=list(body_items),
+        body_slot_of={int(bid): i for i, bid in enumerate(body_items)},
         nv_cap=nv_cap,
         nf_cap=nf_cap,
         ne_cap=ne_cap,
         nb_cap=nb_cap,
     )
+    from membrane_solver_tpu.constraints import get_constraint
+    from membrane_solver_tpu.energy import get_module
+
+    extras: Dict[str, jnp.ndarray] = {}
+    for kind, names, loader in (
+        ("energy", dict.fromkeys(mesh.energy_modules), get_module),
+        ("constraint", dict.fromkeys(mesh.constraint_modules), get_constraint),
+    ):
+        for name in names:
+            hook = getattr(loader(name), "compile_topology", None)
+            if hook is not None:
+                for key, arr in hook(layout).items():
+                    extras[f"{kind}:{name}/{key}"] = jnp.asarray(arr)
+    topo.extras = extras
 
     params = build_params(mesh)
 
@@ -243,6 +326,27 @@ def compile_state(
         n_edges=ne,
         n_bodies=nb,
     )
+
+
+# Mode-like global parameters captured statically in the ProblemSpec (they
+# select code paths at trace time; changing one recompiles).
+_STATIC_PARAM_KEYS: Tuple[str, ...] = (
+    "bending_energy_model",
+    "bending_gradient_mode",
+    "tilt_solver",
+    "tilt_solve_mode",
+    "tilt_cg_preconditioner",
+    "tilt_transport_model",
+)
+
+
+def collect_static_options(gp) -> Tuple[Tuple[str, str], ...]:
+    out = []
+    for key in _STATIC_PARAM_KEYS:
+        val = gp.get(key)
+        if val is not None:
+            out.append((key, str(val)))
+    return tuple(out)
 
 
 # Scalar global parameters forwarded into the jitted params pytree.  Values
@@ -261,7 +365,13 @@ _SCALAR_PARAM_KEYS: Tuple[str, ...] = (
     "tilt_smoothness_modulus_in",
     "tilt_smoothness_modulus_out",
     "tilt_coupling_modulus",
-    "edge_length_stiffness",
+    "edge_stiffness",
+    "target_surface_area",
+    "volume_tolerance",
+    "spontaneous_curvature",
+    "jordan_stiffness",
+    "jordan_target_area",
+    "area_stiffness",
 )
 
 

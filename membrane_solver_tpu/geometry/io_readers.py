@@ -108,6 +108,34 @@ def parse_geometry(data: dict) -> Mesh:
                 pass
     mesh.global_parameters = gp
 
+    # Volume-mode default pairing (reference io_readers.py:195-228): the mode
+    # and the geometric-projection flag are complementary — specifying only
+    # one fixes the other.  lagrange pairs with projection OFF (pure KKT +
+    # drift check); penalty pairs with projection ON.
+    has_mode = "volume_constraint_mode" in gp_block
+    has_proj = "volume_projection_during_minimization" in gp_block
+    if not has_mode and not has_proj:
+        gp.set("volume_constraint_mode", "lagrange")
+        gp.set("volume_projection_during_minimization", False)
+    elif has_mode and not has_proj:
+        mode = str(gp.get("volume_constraint_mode", "lagrange")).lower()
+        gp.set("volume_projection_during_minimization", mode != "lagrange")
+    elif has_proj and not has_mode:
+        proj = bool(gp.get("volume_projection_during_minimization", True))
+        gp.set("volume_constraint_mode", "penalty" if proj else "lagrange")
+    mode = str(gp.get("volume_constraint_mode", "lagrange")).lower()
+    proj_flag = bool(gp.get("volume_projection_during_minimization", False))
+    if mode == "lagrange" and proj_flag:
+        logger.warning(
+            "volume_constraint_mode='lagrange' with "
+            "volume_projection_during_minimization=True is known to be unstable."
+        )
+    if mode == "penalty" and not proj_flag:
+        logger.warning(
+            "volume_constraint_mode='penalty' without geometric projection is "
+            "not supported; consider enabling volume_projection_during_minimization."
+        )
+
     defines = data.get("defines") or {}
     if defines:
         if not isinstance(defines, dict):
@@ -143,7 +171,11 @@ def parse_geometry(data: dict) -> Mesh:
         preset = opts.get("preset")
         if preset:
             if preset not in mesh.definitions:
-                raise ValueError(f"Preset {preset!r} not found in definitions.")
+                # Refined meshes keep preset *names* after the definitions are
+                # dropped (see runtime/refinement.py parity note); tolerate
+                # them on reload instead of failing the round-trip.
+                logger.debug("Preset %r not in definitions; keeping name only.", preset)
+                return _apply_pin_aliases(opts)
             merged = dict(mesh.definitions[preset])
             merged.update(opts)
             merged.setdefault("preset", preset)

@@ -342,7 +342,11 @@ class Mesh:
         out.constraint_modules = self.constraint_modules.copy()
         out.instructions = list(self.instructions)
         out.macros = dict(self.macros)
-        out.definitions = dict(self.definitions)
+        # Parity quirk: the reference's equiangulate_iteration rebuilds the
+        # mesh without carrying `definitions` (equiangulation.py:85-98), so
+        # preset defaults stop resolving after the first flip pass, exactly
+        # like refine_triangle_mesh.  Keep that behavior.
+        out.definitions = {}
         return out
 
     def __repr__(self) -> str:
@@ -353,15 +357,20 @@ class Mesh:
 
 
 def orient_edges_cycle(edge_indices: Iterable[int], mesh: Mesh) -> List[int]:
-    """Reorder/sign a set of edges into a continuous cycle starting from the first.
+    """Reorder/sign a set of edges into a continuous cycle.
 
-    Parity: reference ``runtime/refinement.py:orient_edges_cycle``.
+    Parity: reference ``runtime/refinement.py:orient_edges_cycle`` — the first
+    edge is always forced to POSITIVE orientation (traversed tail->head), even
+    if the facet listed it negatively, so the produced cycle's winding follows
+    the first edge's raw direction.  Downstream child-facet construction and
+    the vertex-average restoration walk depend on this choice.
     """
     edges = list(edge_indices)
     if not edges:
         return []
-    result = [edges[0]]
-    _, current_head = mesh.get_edge(edges[0]).endpoints(edges[0])
+    first = abs(edges[0])
+    result = [first]
+    current_head = mesh.get_edge(first).head_index
     remaining = edges[1:]
     while remaining:
         for i, cand in enumerate(remaining):

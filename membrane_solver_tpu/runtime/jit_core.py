@@ -57,13 +57,17 @@ def active_energy_modules(spec: ProblemSpec) -> Tuple[str, ...]:
 
 def make_total_energy(spec: ProblemSpec) -> Callable:
     """Return total_energy(state, topo, params) -> scalar."""
-    modules = [get_module(name) for name in active_energy_modules(spec)]
+    fns = []
+    for name in active_energy_modules(spec):
+        module = get_module(name)
+        maker = getattr(module, "make_energy", None)
+        fns.append(maker(spec) if maker is not None else module.energy)
 
     def total_energy(state: MeshState, topo: Topology, params: Dict) -> jnp.ndarray:
         geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
         e = jnp.asarray(0.0, dtype=state.positions.dtype)
-        for module in modules:
-            e = e + module.energy(geo, state, topo, params)
+        for fn in fns:
+            e = e + fn(geo, state, topo, params)
         return e
 
     return total_energy
@@ -133,7 +137,11 @@ def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
         return (flatg - lam * gC).reshape(grad.shape)
     A = G @ G.T + 1e-18 * jnp.eye(k, dtype=grad.dtype)
     b = G @ flatg
-    lam = jnp.linalg.solve(A, b)
+    # SVD least-squares: for consistent systems C^T lam is unique across the
+    # solution set, so this matches the reference's Cholesky/solve result and
+    # stays finite when duplicate constraint rows make A singular
+    # (constraint_projection.py:57-67 falls back likewise).
+    lam = jnp.linalg.lstsq(A, b)[0]
     return (flatg - lam @ G).reshape(grad.shape)
 
 
@@ -141,11 +149,15 @@ def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
 # geometric constraint enforcement (hard projections between/inside steps)
 # ----------------------------------------------------------------------
 def make_constraint_enforcer(spec: ProblemSpec) -> Callable | None:
-    """Return enforce(state, topo, params, strong: bool) -> state, or None.
+    """Return enforce(state, topo, params, context: str) -> state, or None.
 
     Parity: runtime/constraint_manager.py:enforce_all — geometric projections
-    (volume Lagrange projection, pins) applied after mesh ops and optionally
-    per line-search trial.
+    (volume Lagrange projection, pins, areas) applied after mesh ops
+    (context "mesh_operation"), at finalize, and per line-search trial
+    (context "minimize").  The volume projection is skipped in the
+    "minimize" context when volume_projection_during_minimization is off
+    (constraint_manager.py:877-887); other constraints always enforce.
+    ``context`` is a static (trace-time) string.
     """
     from membrane_solver_tpu.constraints import get_constraint
 
@@ -154,13 +166,19 @@ def make_constraint_enforcer(spec: ProblemSpec) -> Callable | None:
         mod = get_constraint(name)
         fn = getattr(mod, "enforce", None)
         if fn is not None:
-            enforcers.append(fn)
+            enforcers.append((name, fn))
     if not enforcers:
         return None
 
-    def enforce(state, topo, params, strong=False):
-        for fn in enforcers:
-            state = fn(state, topo, params, strong=strong)
+    def enforce(state, topo, params, context="minimize"):
+        for name, fn in enforcers:
+            if (
+                name == "volume"
+                and context == "minimize"
+                and not spec.volume_projection_during_minimization
+            ):
+                continue
+            state = fn(state, topo, params, context=context)
         return state
 
     return enforce
@@ -283,16 +301,17 @@ def armijo_line_search(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StepperState:
-    """Carry for CG (prev grad/direction) and BFGS (inverse Hessian).
+    """Carry for CG (prev grad/direction).
 
-    GD ignores everything.  Kept at fixed shapes so one pytree serves all
-    stepper kinds under jit.
+    GD ignores everything.  Kept at fixed shapes so one pytree serves the
+    stepper kinds under jit.  (BFGS carries its own dense inverse-Hessian
+    state; see bfgs_* helpers.)
     """
 
     prev_grad: jnp.ndarray  # (Nv, 3)
     prev_dir: jnp.ndarray  # (Nv, 3)
     have_prev: jnp.ndarray  # bool
-    iters_since_restart: jnp.ndarray  # int32
+    iter_count: jnp.ndarray  # int32: successful steps since last reset
 
 
 def fresh_stepper_state(nv_cap: int, dtype=None) -> StepperState:
@@ -305,7 +324,7 @@ def fresh_stepper_state(nv_cap: int, dtype=None) -> StepperState:
         prev_grad=z,
         prev_dir=z,
         have_prev=jnp.asarray(False),
-        iters_since_restart=jnp.asarray(0, jnp.int32),
+        iter_count=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -313,35 +332,42 @@ CG_RESTART_INTERVAL = 10
 
 
 def stepper_direction(
-    kind: str, grad: jnp.ndarray, ss: StepperState
-) -> Tuple[jnp.ndarray, StepperState]:
-    """Compute the descent direction for the active stepper kind (static)."""
+    kind: str, grad: jnp.ndarray, ss: StepperState, fixed_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Descent direction for the active stepper kind (static switch).
+
+    CG parity (conjugate_gradient.py:62-117): *per-vertex-row* Polak-Ribiere
+    beta with per-row reset to steepest descent where beta < 0; full restart
+    to -g when no history exists or every 10th successful step; fixed rows
+    zeroed.  History updates/resets happen in the caller (only on success;
+    the Minimizer resets on failures/repairs like the reference does).
+    """
     if kind == "gradient_descent":
-        return -grad, ss
-    if kind == "conjugate_gradient":
-        # Polak-Ribiere+ with periodic restart (conjugate_gradient.py:17-170)
-        denom = jnp.sum(ss.prev_grad * ss.prev_grad)
-        beta_pr = jnp.sum(grad * (grad - ss.prev_grad)) / jnp.maximum(denom, 1e-300)
-        beta_pr = jnp.maximum(beta_pr, 0.0)
-        restart = (
-            (~ss.have_prev)
-            | (ss.iters_since_restart >= CG_RESTART_INTERVAL)
-            | (denom <= 1e-300)
-        )
-        direction = jnp.where(restart, -grad, -grad + beta_pr * ss.prev_dir)
-        # fall back to steepest descent when the CG direction is not descent
-        descent = jnp.sum(direction * grad) < 0
-        direction = jnp.where(descent, direction, -grad)
-        new_ss = StepperState(
-            prev_grad=grad,
-            prev_dir=direction,
-            have_prev=jnp.asarray(True),
-            iters_since_restart=jnp.where(
-                restart | ~descent, jnp.asarray(1, jnp.int32), ss.iters_since_restart + 1
-            ),
-        )
-        return direction, new_ss
+        return -grad
+    if kind in ("conjugate_gradient", "bfgs"):
+        # (bfgs falls back to CG in-jit until the dense-H state lands)
+        numer = jnp.sum(grad * (grad - ss.prev_grad), axis=1)
+        denom = jnp.sum(ss.prev_grad * ss.prev_grad, axis=1) + 1e-20
+        beta_pr = numer / denom
+        cg_dir = -grad + beta_pr[:, None] * ss.prev_dir
+        cg_dir = jnp.where((beta_pr < 0)[:, None], -grad, cg_dir)
+        restart = (~ss.have_prev) | (ss.iter_count % CG_RESTART_INTERVAL == 0)
+        direction = jnp.where(restart, -grad, cg_dir)
+        return jnp.where(fixed_mask[:, None], 0.0, direction)
     raise ValueError(f"unknown stepper kind {kind!r}")
+
+
+def stepper_update_on_success(
+    kind: str, ss: StepperState, grad: jnp.ndarray, direction: jnp.ndarray
+) -> StepperState:
+    if kind == "gradient_descent":
+        return ss
+    return StepperState(
+        prev_grad=grad,
+        prev_dir=direction,
+        have_prev=jnp.asarray(True),
+        iter_count=ss.iter_count + 1,
+    )
 
 
 # ----------------------------------------------------------------------
@@ -368,6 +394,10 @@ class MinimizeOptions:
     stepper: str = "gradient_descent"
     step_size_mode: str = "adaptive"  # or "fixed"
     enforce_in_line_search: bool = False
+    # lagrange mode without per-trial geometric volume projection: check the
+    # post-step volume drift and hard-project when it exceeds volume_tolerance
+    # (minimizer.py:1464-1499)
+    volume_drift_check: bool = False
 
 
 def _minimize_block_impl(
@@ -433,12 +463,13 @@ def _minimize_block_impl(
         def do_step(_):
             fixed_mode = options.step_size_mode == "fixed"  # static switch
             step_in = fixed_step if fixed_mode else step_size
-            direction, new_ss = stepper_direction(options.stepper, grad, ss)
+            direction = stepper_direction(options.stepper, grad, ss, topo.fixed_mask)
             enforce_p = None
             if enforcer is not None:
                 def enforce_p(p):  # noqa: E306
                     st = enforcer(
-                        dataclasses.replace(state, positions=p), topo, params, strong=False
+                        dataclasses.replace(state, positions=p), topo, params,
+                        context="minimize",
                     )
                     return st.positions
 
@@ -454,6 +485,28 @@ def _minimize_block_impl(
                 enforce_positions=enforce_p,
             )
             new_state = dataclasses.replace(state, positions=ls.positions)
+            if options.volume_drift_check:
+                strong_enforce = make_constraint_enforcer(spec)
+                vols = dgeo.body_volumes(
+                    new_state.positions,
+                    topo.tri_rows,
+                    topo.tri_valid,
+                    topo.tri_body,
+                    spec.nb_cap,
+                )
+                active = topo.body_valid & topo.body_has_target
+                rel = jnp.abs(vols - topo.body_target_volume) / jnp.maximum(
+                    jnp.abs(topo.body_target_volume), 1.0
+                )
+                max_rel = jnp.max(jnp.where(active, rel, 0.0))
+                vol_tol = params.get("volume_tolerance", jnp.asarray(1e-3))
+                drifted = ls.success & (max_rel > vol_tol)
+                projected = strong_enforce(new_state, topo, params, context="mesh_operation")
+                new_state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(drifted, a, b), projected, new_state
+                )
+            else:
+                drifted = jnp.asarray(False)
             new_step_size = fixed_step if fixed_mode else ls.new_step
             # zero-step bookkeeping (minimizer.py:1425-1452); the floor check
             # uses the post-update (post-mode) step size.
@@ -464,10 +517,11 @@ def _minimize_block_impl(
                 jnp.where(at_floor, zero_steps + 1, 0),
             ).astype(zero_steps.dtype)
             early = (~ls.success) & at_floor & (new_zero >= max_zero_steps)
-            # stepper reset on failure (reference resets CG/BFGS state)
+            # history stored only on success; reset on failure or post-drift
+            # projection (minimizer.py:1448-1450, 1497-1499)
             reset_ss = jax.lax.cond(
-                ls.success,
-                lambda: new_ss,
+                ls.success & ~drifted,
+                lambda: stepper_update_on_success(options.stepper, ss, grad, direction),
                 lambda: fresh_stepper_state(spec.nv_cap, dtype),
             )
             return (

@@ -113,14 +113,16 @@ class Minimizer:
                 writeback(self._problem, self.mesh)
             self._problem = compile_state(self.mesh)
             # module lists can be overridden relative to the mesh
-            self._problem.spec = self._problem.spec.__class__(
+            import dataclasses as _dc
+
+            self._problem.spec = _dc.replace(
+                self._problem.spec,
                 energy_modules=tuple(self.energy_module_names),
                 constraint_modules=tuple(self.constraint_module_names),
                 volume_mode=str(self.global_params.get("volume_constraint_mode", "lagrange")),
-                nv_cap=self._problem.spec.nv_cap,
-                nf_cap=self._problem.spec.nf_cap,
-                ne_cap=self._problem.spec.ne_cap,
-                nb_cap=self._problem.spec.nb_cap,
+                volume_projection_during_minimization=bool(
+                    self.global_params.get("volume_projection_during_minimization", True)
+                ),
             )
             self._params_fingerprint = fp
             self._stepper_state = jit_core.fresh_stepper_state(self._problem.spec.nv_cap)
@@ -158,7 +160,9 @@ class Minimizer:
         out: Dict[str, float] = {}
         for name in jit_core.active_energy_modules(p.spec):
             module = get_module(name)
-            out[name] = float(module.energy(geo, p.state, p.topo, p.params))
+            maker = getattr(module, "make_energy", None)
+            fn = maker(p.spec) if maker is not None else module.energy
+            out[name] = float(fn(geo, p.state, p.topo, p.params))
         return out
 
     # ------------------------------------------------------------------
@@ -173,7 +177,7 @@ class Minimizer:
         p = self.problem()
         enforce = jit_core.make_constraint_enforcer(p.spec)
         if enforce is not None:
-            p.state = enforce(p.state, p.topo, p.params, strong=True)
+            p.state = enforce(p.state, p.topo, p.params, context="mesh_operation")
             self._sync_host()
             self.mesh.project_tilts_to_tangent()
 
@@ -183,7 +187,7 @@ class Minimizer:
         p = self.problem()
         enforce = jit_core.make_constraint_enforcer(p.spec)
         if enforce is not None:
-            p.state = enforce(p.state, p.topo, p.params, strong=False)
+            p.state = enforce(p.state, p.topo, p.params, context="minimize")
 
     # ------------------------------------------------------------------
     # the outer loop
@@ -211,12 +215,27 @@ class Minimizer:
             self.enforce_constraints_after_mesh_ops()
             p = self.problem()
 
+        mode = str(self.global_params.get("volume_constraint_mode", "lagrange"))
+        proj_flag = bool(self.global_params.get("volume_projection_during_minimization", True))
+        has_volume_targets = any(
+            (b.target_volume if b.target_volume is not None else b.options.get("target_volume"))
+            is not None
+            for b in self.mesh.bodies.values()
+        )
         options = jit_core.MinimizeOptions(
             stepper=self.stepper.name,
             step_size_mode=str(self.global_params.get("step_size_mode", "adaptive") or "adaptive").lower(),
             enforce_in_line_search=self._has_enforceable_constraints,
+            volume_drift_check=(
+                mode == "lagrange"
+                and not proj_flag
+                and has_volume_targets
+                and "volume" in self.constraint_module_names
+            ),
         )
         block = jit_core.minimize_block(p.spec, options)
+        if self._stepper_state is None:
+            self._stepper_state = jit_core.fresh_stepper_state(p.spec.nv_cap)
 
         repair_every = int(self.global_params.get("mesh_quality_auto_repair_every", 0) or 0)
         repair_enabled = bool(self.global_params.get("mesh_quality_auto_repair_enabled", False))
@@ -306,7 +325,7 @@ class Minimizer:
             p = self.problem()
             enforce = jit_core.make_constraint_enforcer(p.spec)
             if enforce is not None:
-                p.state = enforce(p.state, p.topo, p.params, strong=True)
+                p.state = enforce(p.state, p.topo, p.params, context="finalize")
 
         self._sync_host()
         self.mesh.project_tilts_to_tangent()

@@ -350,7 +350,13 @@ def refine_polygonal_facets(mesh: Mesh) -> Mesh:
 # ----------------------------------------------------------------------
 def refine_triangle_mesh(mesh: Mesh) -> Mesh:
     out = Mesh()
-    out.definitions = dict(mesh.definitions)
+    # Parity quirk: the reference's refine_triangle_mesh does NOT carry the
+    # preset `definitions` over to the new mesh (refinement.py:1109-1121), so
+    # preset defaults (e.g. a ring preset's fixed/pin flags) only apply to
+    # midpoints during the FIRST refinement after load; later passes keep the
+    # preset name but resolve no defaults.  Downstream fixed-vertex sets (and
+    # hence vertex averaging and minimization) depend on this.
+    out.definitions = {}
     new_vertices = {i: v for i, v in mesh.vertices.items()}
     new_edges: Dict[int, Edge] = {}
     new_facets: Dict[int, Facet] = {}

@@ -92,7 +92,17 @@ def vertex_average(mesh: Mesh) -> None:
     accum: dict = {}
     counts: dict = {}
     for fid, facet in mesh.facets.items():
-        v_ids = mesh.facet_vertex_loop(facet)
+        # Parity quirk (vertex_average.py:127-133): the reference builds this
+        # walk from get_edge(signed) — which already reverses negative edges —
+        # and then applies the sign AGAIN, so the picked vertex is always the
+        # edge's RAW tail.  Facets whose loops contain negative edges thus
+        # produce degenerate walks like [a, b, a] and are silently skipped by
+        # the area check below.  Replicate exactly.
+        v_ids: list = []
+        for signed_ei in facet.edge_indices:
+            raw_tail = mesh.get_edge(signed_ei).tail_index
+            if not v_ids or v_ids[-1] != raw_tail:
+                v_ids.append(raw_tail)
         if len(v_ids) < 3:
             continue
         orig_area = facet_area.get(fid)
