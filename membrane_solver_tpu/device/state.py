@@ -103,9 +103,17 @@ class ProblemSpec:
     nb_cap: int = 0
     # mode-like global parameters that select code paths at trace time
     static_options: Tuple[Tuple[str, str], ...] = ()
+    # per-module static compile products (hashable), from compile_static hooks
+    extra_static: Tuple[Tuple[str, Any], ...] = ()
 
     def option(self, key: str, default: str = "") -> str:
         for k, v in self.static_options:
+            if k == key:
+                return v
+        return default
+
+    def static_of(self, key: str, default=None):
+        for k, v in self.extra_static:
             if k == key:
                 return v
         return default
@@ -301,16 +309,22 @@ def compile_state(
     from membrane_solver_tpu.energy import get_module
 
     extras: Dict[str, jnp.ndarray] = {}
+    extra_static = []
     for kind, names, loader in (
         ("energy", dict.fromkeys(mesh.energy_modules), get_module),
         ("constraint", dict.fromkeys(mesh.constraint_modules), get_constraint),
     ):
         for name in names:
-            hook = getattr(loader(name), "compile_topology", None)
+            module = loader(name)
+            hook = getattr(module, "compile_topology", None)
             if hook is not None:
                 for key, arr in hook(layout).items():
                     extras[f"{kind}:{name}/{key}"] = jnp.asarray(arr)
+            static_hook = getattr(module, "compile_static", None)
+            if static_hook is not None:
+                extra_static.append((f"{kind}:{name}", static_hook(layout)))
     topo.extras = extras
+    spec = dataclasses.replace(spec, extra_static=tuple(extra_static))
 
     params = build_params(mesh)
 

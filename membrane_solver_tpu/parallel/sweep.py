@@ -140,7 +140,7 @@ def run_sweep(
     batch = batch_problem(problem, member_params)
     run = make_sweep_minimize(problem.spec, options, device_mesh)
     n = batch.n_members
-    stepper_states = jax.vmap(lambda _: jit_core.fresh_stepper_state(problem.spec.nv_cap))(
+    stepper_states = jax.vmap(lambda _: jit_core.fresh_stepper_state(problem.spec.nv_cap, kind=options.stepper))(
         jnp.arange(n)
     )
     return run(

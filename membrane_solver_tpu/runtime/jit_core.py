@@ -99,7 +99,8 @@ def make_constraint_gradients(spec: ProblemSpec) -> Callable:
     builders = []
     for name in dict.fromkeys(spec.constraint_modules):
         mod = get_constraint(name)
-        fn = getattr(mod, "constraint_gradient_rows", None)
+        maker = getattr(mod, "make_constraint_gradient_rows", None)
+        fn = maker(spec) if maker is not None else getattr(mod, "constraint_gradient_rows", None)
         if fn is not None:
             builders.append(fn)
 
@@ -164,7 +165,8 @@ def make_constraint_enforcer(spec: ProblemSpec) -> Callable | None:
     enforcers = []
     for name in dict.fromkeys(spec.constraint_modules):
         mod = get_constraint(name)
-        fn = getattr(mod, "enforce", None)
+        maker = getattr(mod, "make_enforce", None)
+        fn = maker(spec) if maker is not None else getattr(mod, "enforce", None)
         if fn is not None:
             enforcers.append((name, fn))
     if not enforcers:
@@ -301,28 +303,32 @@ def armijo_line_search(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StepperState:
-    """Carry for CG (prev grad/direction).
+    """Carry for CG (prev grad/direction) and BFGS (prev x + dense H^-1).
 
-    GD ignores everything.  Kept at fixed shapes so one pytree serves the
-    stepper kinds under jit.  (BFGS carries its own dense inverse-Hessian
-    state; see bfgs_* helpers.)
+    GD ignores everything.  Kept at fixed shapes so one pytree serves each
+    compiled (spec, options) pair; the H block exists only for BFGS blocks.
     """
 
     prev_grad: jnp.ndarray  # (Nv, 3)
-    prev_dir: jnp.ndarray  # (Nv, 3)
+    prev_dir: jnp.ndarray  # (Nv, 3)  [CG]
+    prev_x: jnp.ndarray | None  # (Nv, 3)  [BFGS]
+    H: jnp.ndarray | None  # (3Nv, 3Nv) inverse-Hessian approx [BFGS]
     have_prev: jnp.ndarray  # bool
     iter_count: jnp.ndarray  # int32: successful steps since last reset
 
 
-def fresh_stepper_state(nv_cap: int, dtype=None) -> StepperState:
+def fresh_stepper_state(nv_cap: int, dtype=None, kind: str = "gradient_descent") -> StepperState:
     from membrane_solver_tpu.utils.precision import default_float
 
     if dtype is None:
         dtype = default_float()
     z = jnp.zeros((nv_cap, 3), dtype=dtype)
+    bfgs = kind == "bfgs"
     return StepperState(
         prev_grad=z,
         prev_dir=z,
+        prev_x=z if bfgs else None,
+        H=jnp.eye(3 * nv_cap, dtype=dtype) if bfgs else None,
         have_prev=jnp.asarray(False),
         iter_count=jnp.asarray(0, jnp.int32),
     )
@@ -332,20 +338,30 @@ CG_RESTART_INTERVAL = 10
 
 
 def stepper_direction(
-    kind: str, grad: jnp.ndarray, ss: StepperState, fixed_mask: jnp.ndarray
-) -> jnp.ndarray:
+    kind: str,
+    grad: jnp.ndarray,
+    ss: StepperState,
+    fixed_mask: jnp.ndarray,
+    positions: jnp.ndarray,
+) -> Tuple[jnp.ndarray, StepperState]:
     """Descent direction for the active stepper kind (static switch).
 
-    CG parity (conjugate_gradient.py:62-117): *per-vertex-row* Polak-Ribiere
-    beta with per-row reset to steepest descent where beta < 0; full restart
-    to -g when no history exists or every 10th successful step; fixed rows
-    zeroed.  History updates/resets happen in the caller (only on success;
-    the Minimizer resets on failures/repairs like the reference does).
+    - CG parity (conjugate_gradient.py:62-117): *per-vertex-row*
+      Polak-Ribiere beta with per-row reset to steepest descent where
+      beta < 0; full restart to -g with no history or every 10th successful
+      step; fixed rows zeroed.
+    - BFGS parity (bfgs.py:88-124): dense inverse-Hessian over movable DOFs
+      (realized full-size with masked s/y so fixed/padded rows stay at
+      identity), update V H V^T + rho s s^T when the curvature condition
+      y.s > 1e-12 holds, else reset H to identity; direction -H g.
+
+    Returns (direction, mid-state).  BFGS mutates H at direction time like the
+    reference; prev_x/prev_grad are stored only on success (the Minimizer
+    resets everything on failures/repairs, matching reference reset()).
     """
     if kind == "gradient_descent":
-        return -grad
-    if kind in ("conjugate_gradient", "bfgs"):
-        # (bfgs falls back to CG in-jit until the dense-H state lands)
+        return -grad, ss
+    if kind == "conjugate_gradient":
         numer = jnp.sum(grad * (grad - ss.prev_grad), axis=1)
         denom = jnp.sum(ss.prev_grad * ss.prev_grad, axis=1) + 1e-20
         beta_pr = numer / denom
@@ -353,18 +369,48 @@ def stepper_direction(
         cg_dir = jnp.where((beta_pr < 0)[:, None], -grad, cg_dir)
         restart = (~ss.have_prev) | (ss.iter_count % CG_RESTART_INTERVAL == 0)
         direction = jnp.where(restart, -grad, cg_dir)
-        return jnp.where(fixed_mask[:, None], 0.0, direction)
+        return jnp.where(fixed_mask[:, None], 0.0, direction), ss
+    if kind == "bfgs":
+        n = grad.shape[0]
+        movable = (~fixed_mask)[:, None].astype(grad.dtype)
+        x = (positions * movable).reshape(-1)
+        g = (grad * movable).reshape(-1)
+        s = x - (ss.prev_x * movable).reshape(-1)
+        y = g - (ss.prev_grad * movable).reshape(-1)
+        ys = jnp.dot(y, s)
+        eye = jnp.eye(3 * n, dtype=grad.dtype)
+
+        def updated_H(_):
+            rho = 1.0 / ys
+            V = eye - rho * jnp.outer(s, y)
+            return V @ ss.H @ V.T + rho * jnp.outer(s, s)
+
+        H_after = jax.lax.cond(
+            ss.have_prev,
+            lambda _: jax.lax.cond(ys > 1e-12, updated_H, lambda _: eye, None),
+            lambda _: ss.H,
+            None,
+        )
+        direction = -(H_after @ g).reshape(n, 3)
+        direction = jnp.where(fixed_mask[:, None], 0.0, direction)
+        return direction, dataclasses.replace(ss, H=H_after)
     raise ValueError(f"unknown stepper kind {kind!r}")
 
 
 def stepper_update_on_success(
-    kind: str, ss: StepperState, grad: jnp.ndarray, direction: jnp.ndarray
+    kind: str,
+    ss: StepperState,
+    grad: jnp.ndarray,
+    direction: jnp.ndarray,
+    positions: jnp.ndarray,
 ) -> StepperState:
     if kind == "gradient_descent":
         return ss
-    return StepperState(
+    return dataclasses.replace(
+        ss,
         prev_grad=grad,
         prev_dir=direction,
+        prev_x=positions if ss.prev_x is not None else None,
         have_prev=jnp.asarray(True),
         iter_count=ss.iter_count + 1,
     )
@@ -463,7 +509,9 @@ def _minimize_block_impl(
         def do_step(_):
             fixed_mode = options.step_size_mode == "fixed"  # static switch
             step_in = fixed_step if fixed_mode else step_size
-            direction = stepper_direction(options.stepper, grad, ss, topo.fixed_mask)
+            direction, ss_mid = stepper_direction(
+                options.stepper, grad, ss, topo.fixed_mask, state.positions
+            )
             enforce_p = None
             if enforcer is not None:
                 def enforce_p(p):  # noqa: E306
@@ -521,8 +569,10 @@ def _minimize_block_impl(
             # projection (minimizer.py:1448-1450, 1497-1499)
             reset_ss = jax.lax.cond(
                 ls.success & ~drifted,
-                lambda: stepper_update_on_success(options.stepper, ss, grad, direction),
-                lambda: fresh_stepper_state(spec.nv_cap, dtype),
+                lambda: stepper_update_on_success(
+                    options.stepper, ss_mid, grad, direction, state.positions
+                ),
+                lambda: fresh_stepper_state(spec.nv_cap, dtype, options.stepper),
             )
             return (
                 new_state,

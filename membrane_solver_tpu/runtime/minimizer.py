@@ -71,7 +71,8 @@ class Minimizer:
         )
         self.constraint_modules = [get_constraint(n) for n in cons]
         self._has_enforceable_constraints = any(
-            hasattr(m, "enforce") for m in self.constraint_modules
+            hasattr(m, "enforce") or hasattr(m, "make_enforce")
+            for m in self.constraint_modules
         )
 
         self._problem: Optional[CompiledProblem] = None
@@ -125,7 +126,9 @@ class Minimizer:
                 ),
             )
             self._params_fingerprint = fp
-            self._stepper_state = jit_core.fresh_stepper_state(self._problem.spec.nv_cap)
+            self._stepper_state = jit_core.fresh_stepper_state(
+                self._problem.spec.nv_cap, kind=self.stepper.name
+            )
         return self._problem
 
     def _sync_host(self) -> None:
@@ -235,7 +238,7 @@ class Minimizer:
         )
         block = jit_core.minimize_block(p.spec, options)
         if self._stepper_state is None:
-            self._stepper_state = jit_core.fresh_stepper_state(p.spec.nv_cap)
+            self._stepper_state = jit_core.fresh_stepper_state(p.spec.nv_cap, kind=self.stepper.name)
 
         repair_every = int(self.global_params.get("mesh_quality_auto_repair_every", 0) or 0)
         repair_enabled = bool(self.global_params.get("mesh_quality_auto_repair_enabled", False))

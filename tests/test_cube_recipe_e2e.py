@@ -59,15 +59,16 @@ def test_refine_preserves_energy(recipe_run):
             assert step["energy"] == pytest.approx(results[i - 1]["energy"], rel=1e-12)
 
 
+def test_every_step_energy_parity(recipe_run):
+    trace, results = recipe_run
+    for ref, got in zip(trace["trace"], results):
+        assert got["energy"] == pytest.approx(ref["energy"], abs=5e-12), got["cmd"]
+
+
 def test_final_energy_parity(recipe_run):
     trace, results = recipe_run
-    ref_final = trace["trace"][-1]["energy"]
-    got_final = results[-1]["energy"]
-    # Equiangulation flip decisions sit on a 1e-3 Delaunay margin evaluated on
-    # positions that agree with the reference only to ~1e-13 after 100 steps,
-    # so a marginal flip can differ; the converged minima still agree to ~1e-6
-    # (the reference's own acceptance lanes use 5e-2).
-    assert got_final == pytest.approx(ref_final, rel=1e-5)
+    # full-recipe parity: the driver target is 1e-8; we hold ~1e-13
+    assert results[-1]["energy"] == pytest.approx(trace["trace"][-1]["energy"], abs=1e-10)
 
 
 def test_final_volume_close_to_target(recipe_run):
