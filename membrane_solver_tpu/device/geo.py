@@ -126,6 +126,32 @@ def p1_shape_gradients(geo: TriangleGeometry) -> jnp.ndarray:
     return jnp.stack([g0, g1, g2], axis=1)
 
 
+@jax.custom_jvp
+def directional_norm(vecs: jnp.ndarray, fallback_dirs: jnp.ndarray) -> jnp.ndarray:
+    """Row norms whose gradient direction falls back to ``fallback_dirs`` at 0.
+
+    Parity: the reference's bending backprop uses K_dir = K/|K| when
+    |K| > 1e-15 and the vertex normal otherwise (bending.py:155-160,
+    bending_tilt_leaflet.py:556-563).  The |K| kink at flat states is thus
+    resolved along the surface normal — this one-sided choice is what lets the
+    curvature-divergence cross term buckle a perfectly flat membrane, so AD
+    must reproduce it rather than returning the symmetric (zero) derivative.
+    """
+    return jnp.linalg.norm(vecs, axis=-1)
+
+
+@directional_norm.defjvp
+def _directional_norm_jvp(primals, tangents):
+    vecs, fallback = primals
+    dvecs, _dfall = tangents
+    mag = jnp.linalg.norm(vecs, axis=-1)
+    use_dir = mag > 1e-15
+    direction = jnp.where(
+        use_dir[..., None], vecs / jnp.maximum(mag, 1e-15)[..., None], fallback
+    )
+    return mag, jnp.sum(direction * dvecs, axis=-1)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CurvatureData:

@@ -383,9 +383,23 @@ _SCALAR_PARAM_KEYS: Tuple[str, ...] = (
     "target_surface_area",
     "volume_tolerance",
     "spontaneous_curvature",
+    "spontaneous_curvature_in",
+    "spontaneous_curvature_out",
+    "bending_modulus_in",
+    "bending_modulus_out",
     "jordan_stiffness",
     "jordan_target_area",
     "area_stiffness",
+    "tilt_rigidity",
+    "tilt_smoothness_rigidity",
+    "tilt_thetaB_value",
+    "tilt_thetaB_strength_in",
+    "tilt_thetaB_contact_strength_in",
+    "tilt_step_size",
+    "tilt_tol",
+    "rim_slope_match_strength",
+    "tilt_relax_energy_guard_factor",
+    "tilt_relax_energy_guard_min",
 )
 
 

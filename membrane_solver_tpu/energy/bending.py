@@ -88,9 +88,12 @@ def effective_vertex_areas(curv: dgeo.CurvatureData, topo, n_rows: int) -> jnp.n
 def bending_fields(state, topo):
     """(H_vor, A_vor, A_eff, interior mask) shared with tilt-coupled modules."""
     n_rows = state.positions.shape[0]
+    geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
+    vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
     curv = dgeo.curvature_data(state.positions, topo.tri_rows, topo.tri_valid, n_rows)
     safe_vor = jnp.maximum(curv.vertex_areas, 1e-12)
-    H = dgeo.safe_norm(curv.k_vecs, eps=1e-300) / (2.0 * safe_vor)
+    # |K| with normal-direction gradient fallback at flat states
+    H = dgeo.directional_norm(curv.k_vecs, vnormals) / (2.0 * safe_vor)
     a_eff = effective_vertex_areas(curv, topo, n_rows)
     interior = topo.vertex_valid & ~topo.boundary_vertex_mask
     return H, curv, a_eff, interior

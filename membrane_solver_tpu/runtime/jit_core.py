@@ -138,11 +138,12 @@ def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
         return (flatg - lam * gC).reshape(grad.shape)
     A = G @ G.T + 1e-18 * jnp.eye(k, dtype=grad.dtype)
     b = G @ flatg
-    # SVD least-squares: for consistent systems C^T lam is unique across the
-    # solution set, so this matches the reference's Cholesky/solve result and
-    # stays finite when duplicate constraint rows make A singular
-    # (constraint_projection.py:57-67 falls back likewise).
-    lam = jnp.linalg.lstsq(A, b)[0]
+    # Solve the 1e-18-regularized normal equations directly, like the
+    # reference's Cholesky/solve (_solve_kkt_system).  Near-null constraint
+    # directions (duplicated/negated rows) then still project with
+    # sigma^2/(sigma^2 + 1e-18) weighting — an SVD least-squares with an
+    # rcond cutoff would drop them and produce a different projection.
+    lam = jnp.linalg.solve(A, b)
     return (flatg - lam @ G).reshape(grad.shape)
 
 
@@ -195,31 +196,34 @@ class LineSearchResult:
     success: jnp.ndarray  # bool
     new_step: jnp.ndarray  # f64
     energy: jnp.ndarray  # accepted energy (or energy0 on failure)
-    positions: jnp.ndarray  # accepted positions (or baseline on failure)
+    state: MeshState  # accepted state (or the baseline on failure)
 
 
 def armijo_line_search(
-    energy_at: Callable,  # positions -> scalar
-    positions: jnp.ndarray,
+    energy_of_state: Callable,  # MeshState -> scalar
+    state: MeshState,
     grad: jnp.ndarray,
     direction: jnp.ndarray,
     step_size: jnp.ndarray,
     energy0: jnp.ndarray,
     movable: jnp.ndarray,  # (Nv,) bool
     topo: Topology,
-    enforce_positions: Callable | None = None,
+    state_of_trial: Callable,  # trial positions -> full trial MeshState
 ) -> LineSearchResult:
     """Functional Armijo backtracking (reference line_search.py:261-529).
 
-    Pure trial-position evaluation: the caller's state is never mutated;
-    accepted positions are returned.  Safety: steps displacing any vertex by
-    more than 0.3x the min edge length must not rotate any triangle normal by
-    more than 0.5 rad nor collapse a triangle (checked on the raw trial,
-    before constraint enforcement).  When ``enforce_positions`` is given,
-    hard-constraint geometric projection runs on every trial before the
-    energy evaluation (the reference's constraint_enforcer path,
-    line_search.py:440-448).
+    Pure trial evaluation: the caller's state is never mutated; the accepted
+    state is returned.  Safety: steps displacing any vertex by more than 0.3x
+    the min edge length must not rotate any triangle normal by more than
+    0.5 rad nor collapse a triangle (checked on the raw trial positions,
+    before enforcement).  ``state_of_trial`` reproduces the reference's
+    per-trial pipeline: geometric constraint enforcement, kinematic tilt
+    constraint enforcement, and tangent re-projection of the tilt fields onto
+    the trial surface (line_search.py:440-448 + minimizer._projected_energy).
+    Rejected trials implicitly restore everything (the baseline state is
+    immutable), matching the reference's snapshot/restore bookkeeping.
     """
+    positions = state.positions
     dtype = positions.dtype
     min_edge = dgeo.min_edge_length(positions, topo.edge_rows, topo.edge_valid)
     safe_limit = jnp.where(min_edge > 0, SAFE_STEP_FRACTION * min_edge, jnp.inf)
@@ -234,8 +238,6 @@ def armijo_line_search(
     def trial_of(alpha):
         return jnp.where(movable[:, None], positions + alpha * direction, positions)
 
-    Carry = Tuple  # (k, alpha, done, success, acc_E, acc_alpha)
-
     def cond(carry):
         k, alpha, done, success, _, _ = carry
         return (~done) & (k < LS_MAX_ITER)
@@ -249,13 +251,15 @@ def armijo_line_search(
         )
 
         def eval_and_decide(_):
-            effective = enforce_positions(trial) if enforce_positions is not None else trial
-            E_t = energy_at(effective)
+            E_t = energy_of_state(state_of_trial(trial))
             accept = E_t <= energy0 + LS_C * alpha * g_dot_d
             return accept, E_t
 
         accept, E_t = jax.lax.cond(
-            normals_ok, eval_and_decide, lambda _: (jnp.asarray(False), jnp.asarray(jnp.inf, dtype)), None
+            normals_ok,
+            eval_and_decide,
+            lambda _: (jnp.asarray(False), jnp.asarray(jnp.inf, dtype)),
+            None,
         )
 
         new_alpha = jnp.where(accept, alpha, alpha * LS_BETA)
@@ -282,10 +286,10 @@ def armijo_line_search(
     k, alpha, done, success, acc_E, acc_alpha = jax.lax.while_loop(cond, body, init)
     success = success & descent
 
-    accepted_trial = trial_of(acc_alpha)
-    if enforce_positions is not None:
-        accepted_trial = enforce_positions(accepted_trial)
-    final_positions = jnp.where(success, accepted_trial, positions)
+    accepted_state = state_of_trial(trial_of(acc_alpha))
+    final_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(success, a, b), accepted_state, state
+    )
     new_step = jnp.where(
         success,
         jnp.minimum(acc_alpha * LS_GAMMA, alpha_max),
@@ -293,7 +297,7 @@ def armijo_line_search(
     )
     final_E = jnp.where(success, acc_E, energy0)
     return LineSearchResult(
-        success=success, new_step=new_step, energy=final_E, positions=final_positions
+        success=success, new_step=new_step, energy=final_E, state=final_state
     )
 
 
@@ -460,12 +464,60 @@ def _minimize_block_impl(
     step_size_floor: jnp.ndarray,
     max_zero_steps: jnp.ndarray,
     zero_step_counter: jnp.ndarray,
+    tilt_inner_iters: jnp.ndarray | None = None,
 ):
     total = make_total_energy(spec)
     energy_of_positions = make_energy_of_positions(spec)
     constraint_grads_fn = make_constraint_gradients(spec)
     enforcer = make_constraint_enforcer(spec) if options.enforce_in_line_search else None
     dtype = state.positions.dtype
+
+    # leaflet tilt inner solve, statically gated (minimizer.py:1224-1294)
+    from membrane_solver_tpu.runtime import tilt_relax as _tr
+
+    tilt_mode = spec.option("tilt_solve_mode", "fixed").lower()
+    do_tilt_relax = (
+        _tr.spec_uses_leaflet_tilts(spec)
+        and tilt_mode in {"nested", "coupled"}
+        and tilt_inner_iters is not None
+    )
+    relax_fn = _tr.make_relax_leaflet_tilts(spec) if do_tilt_relax else None
+    project_tilts_after_step = do_tilt_relax or _tr.spec_uses_vertex_tilts(spec)
+    tilt_enforcer = _tr.make_tilt_enforcer(spec)
+
+    def relax_with_guard(state):
+        """Energy-spike guard with tilt-step halving (minimizer.py:1228-1288)."""
+        t_step = params.get("tilt_step_size", jnp.asarray(0.0, dtype))
+        t_tol = params.get("tilt_tol", jnp.asarray(0.0, dtype))
+        guard_factor = params.get("tilt_relax_energy_guard_factor", jnp.asarray(0.0, dtype))
+        guard_min = params.get("tilt_relax_energy_guard_min", jnp.asarray(0.0, dtype))
+
+        def plain(state):
+            new_state, _stats = relax_fn(state, topo, params, tilt_inner_iters, t_step, t_tol)
+            return new_state
+
+        def guarded(state):
+            pre_E = total(state, topo, params)
+            threshold = jnp.maximum(guard_min, jnp.abs(pre_E) * guard_factor)
+            # 1 + tilt_relax_energy_guard_retries (default 4) attempts with a
+            # halved tilt step on each spike; roll back fully if all spike.
+            accepted = jnp.asarray(False)
+            trial_step = t_step
+            result = state
+            for _ in range(5):
+                new_st, _ = relax_fn(state, topo, params, tilt_inner_iters, trial_step, t_tol)
+                post_E = total(new_st, topo, params)
+                ok = (post_E <= threshold) & ~accepted
+                result = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new_st, result
+                )
+                accepted = accepted | ok
+                trial_step = trial_step * 0.5
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accepted, a, b), result, state
+            )
+
+        return jax.lax.cond(guard_factor > 0.0, guarded, plain, state)
 
     def value_and_grad_projected(state):
         E, g = jax.value_and_grad(
@@ -502,6 +554,9 @@ def _minimize_block_impl(
             last_gnorm,
         ) = carry
 
+        if do_tilt_relax:
+            state = relax_with_guard(state)
+
         E, grad = value_and_grad_projected(state)
         gnorm = jnp.linalg.norm(grad)
         now_converged = gnorm < tol
@@ -512,27 +567,48 @@ def _minimize_block_impl(
             direction, ss_mid = stepper_direction(
                 options.stepper, grad, ss, topo.fixed_mask, state.positions
             )
-            enforce_p = None
-            if enforcer is not None:
-                def enforce_p(p):  # noqa: E306
-                    st = enforcer(
-                        dataclasses.replace(state, positions=p), topo, params,
-                        context="minimize",
+
+            def state_of_trial(p):
+                # Per-trial pipeline (line_search.py:440-448 +
+                # minimizer._projected_energy / _trial_projected_energy):
+                # geometric enforcement, kinematic tilt-constraint enforcement
+                # (e.g. rim slope re-matching against the *trial* slopes), then
+                # tangent re-projection of all tilt fields onto the trial
+                # surface.  Tilts mutated by a rejected trial are implicitly
+                # restored (the baseline state is immutable); the accepted
+                # trial's tilts are kept — this tilt/shape coupling is what
+                # makes shape steps acceptable on tilt-bearing meshes.
+                st = dataclasses.replace(state, positions=p)
+                if enforcer is not None:
+                    st = enforcer(st, topo, params, context="minimize")
+                    st = tilt_enforcer(st, topo, params)
+                if project_tilts_after_step:
+                    t_geo = dgeo.triangle_geometry(
+                        st.positions, topo.tri_rows, topo.tri_valid
                     )
-                    return st.positions
+                    nrm = dgeo.vertex_normals(
+                        t_geo, topo.tri_rows, topo.tri_valid, st.positions.shape[0]
+                    )
+                    st = dataclasses.replace(
+                        st,
+                        tilts=dgeo.project_to_tangent(st.tilts, nrm),
+                        tilts_in=dgeo.project_to_tangent(st.tilts_in, nrm),
+                        tilts_out=dgeo.project_to_tangent(st.tilts_out, nrm),
+                    )
+                return st
 
             ls = armijo_line_search(
-                lambda p: energy_of_positions(p, state, topo, params),
-                state.positions,
+                lambda st: total(st, topo, params),
+                state,
                 grad,
                 direction,
                 step_in,
                 E,
                 movable,
                 topo,
-                enforce_positions=enforce_p,
+                state_of_trial,
             )
-            new_state = dataclasses.replace(state, positions=ls.positions)
+            new_state = ls.state
             if options.volume_drift_check:
                 strong_enforce = make_constraint_enforcer(spec)
                 vols = dgeo.body_volumes(

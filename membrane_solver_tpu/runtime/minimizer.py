@@ -264,6 +264,19 @@ class Minimizer:
             if not self.quiet:
                 chunk = 1  # per-step reporting parity
 
+            tilt_mode = str(self.global_params.get("tilt_solve_mode", "fixed") or "fixed")
+            if tilt_mode == "nested":
+                inner = int(self.global_params.get("tilt_inner_steps", 0) or 0)
+            else:
+                inner = int(
+                    self.global_params.get(
+                        "tilt_coupled_steps", self.global_params.get("tilt_inner_steps", 0)
+                    )
+                    or 0
+                )
+            if str(self.global_params.get("tilt_solver", "cg") or "cg").lower() == "cg":
+                inner = int(self.global_params.get("tilt_cg_max_iters", inner) or inner)
+
             p.state, self._stepper_state, stats = block(
                 p.state,
                 p.topo,
@@ -276,6 +289,7 @@ class Minimizer:
                 jnp.asarray(self.step_size_floor),
                 jnp.asarray(self.max_zero_steps, jnp.int32),
                 jnp.asarray(zero_step_counter, jnp.int32),
+                jnp.asarray(inner, jnp.int32),
             )
             done_now = int(stats.iterations)
             step_size_used = self.step_size

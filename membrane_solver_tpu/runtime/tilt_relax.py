@@ -1,0 +1,401 @@
+"""In-jit leaflet tilt relaxation (nested/coupled inner solves).
+
+Parity: reference ``runtime/steppers/tilt_relaxation.py:relax_leaflet_tilts``
+(426-1470) — with positions frozen:
+
+1. enforce tilt constraints, load tilts, tangent-project;
+2. evaluate tilt-dependent energy + tilt gradients for both leaflets, project
+   the gradients against the stacked tilt-constraint rows (KKT), zero fixed
+   rows;
+3. GD: backtracking (12 halvings from tilt_step_size) on
+   tangent-projected trials with fixed-row overrides, accept when E1 <= E0;
+   CG: preconditioned (Jacobi) Polak-style loop with the same backtracking,
+   per-accepted-step constraint refresh, beta = rz_new / rz_old;
+4. stop on zero gradient, tol convergence, rejection, or max iters.
+
+Everything runs as fixed-shape lax loops on device; the Jacobi preconditioner
+follows runtime/preconditioners.py:64-146 (tilt-modulus mass + bending-modulus
+cotan row sums).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from membrane_solver_tpu.device import geo as dgeo
+from membrane_solver_tpu.device.state import MeshState, ProblemSpec, Topology
+from membrane_solver_tpu.energy import get_module
+
+MAX_BACKTRACKS = 12
+STEP_FLOOR = 1e-16
+
+
+def spec_uses_leaflet_tilts(spec: ProblemSpec) -> bool:
+    return any(
+        getattr(get_module(name), "USES_TILT_LEAFLETS", False)
+        for name in spec.energy_modules
+    )
+
+
+def spec_uses_vertex_tilts(spec: ProblemSpec) -> bool:
+    return any(
+        getattr(get_module(name), "USES_TILT", False) for name in spec.energy_modules
+    )
+
+
+def make_tilt_energy(spec: ProblemSpec) -> Callable:
+    """Tilt-dependent total energy (shape-only modules excluded).
+
+    Parity: EvaluationManager.compute_tilt_dependent_energy_with_leaflet_tilts
+    (evaluation_manager.py:557-742) — the accept/reject comparisons during the
+    inner solve only involve tilt-dependent modules.
+    """
+    from membrane_solver_tpu.runtime.jit_core import active_energy_modules
+
+    fns = []
+    for name in active_energy_modules(spec):
+        module = get_module(name)
+        if not (
+            getattr(module, "USES_TILT", False)
+            or getattr(module, "USES_TILT_LEAFLETS", False)
+        ):
+            continue
+        maker = getattr(module, "make_energy", None)
+        fns.append(maker(spec) if maker is not None else module.energy)
+
+    def tilt_energy(state: MeshState, topo: Topology, params: Dict):
+        geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
+        e = jnp.asarray(0.0, state.positions.dtype)
+        for fn in fns:
+            e = e + fn(geo, state, topo, params)
+        return e
+
+    return tilt_energy
+
+
+def make_tilt_constraint_rows(spec: ProblemSpec) -> Callable:
+    """Stacked (k, 2, Nv, 3) tilt-constraint gradient row pairs across modules."""
+    from membrane_solver_tpu.constraints import get_constraint
+
+    builders = []
+    for name in dict.fromkeys(spec.constraint_modules):
+        mod = get_constraint(name)
+        maker = getattr(mod, "make_tilt_constraint_rows", None)
+        if maker is not None:
+            builders.append(maker(spec))
+
+    def rows(state, topo, params):
+        blocks = [b for b in (fn(state, topo, params) for fn in builders) if b is not None]
+        if not blocks:
+            return None
+        return jnp.concatenate(blocks, axis=0)
+
+    return rows
+
+
+def make_tilt_enforcer(spec: ProblemSpec) -> Callable:
+    """Kinematic tilt-constraint projection across modules (enforce_tilt_constraints)."""
+    from membrane_solver_tpu.constraints import get_constraint
+
+    fns = []
+    for name in dict.fromkeys(spec.constraint_modules):
+        mod = get_constraint(name)
+        fn = getattr(mod, "enforce_tilts", None)
+        if fn is not None:
+            fns.append(fn)
+
+    def enforce(state, topo, params):
+        for fn in fns:
+            state = fn(state, topo, params)
+        return state
+
+    return enforce
+
+
+def project_tilt_gradients_kkt(gin, gout, rows):
+    """Project the stacked leaflet gradient against tilt-constraint rows.
+
+    Parity: constraint_manager.apply_tilt_gradient_modifications_array
+    (651-825): joint KKT over the concatenated (in, out) tilt DOFs.
+    """
+    if rows is None:
+        return gin, gout
+    k = rows.shape[0]
+    g = jnp.concatenate([gin.reshape(-1), gout.reshape(-1)])
+    G = rows.reshape(k, -1)
+    b = G @ g
+    A = G @ G.T + 1e-18 * jnp.eye(k, dtype=g.dtype)
+    lam = jnp.linalg.solve(A, b)  # regularized solve, matching _solve_kkt_system
+    g = g - lam @ G
+    n = gin.size
+    return g[:n].reshape(gin.shape), g[n:].reshape(gout.shape)
+
+
+def jacobi_preconditioner(positions, topo, params):
+    """(M_inv_in, M_inv_out) per runtime/preconditioners.py:64-146."""
+    dtype = positions.dtype
+    n_rows = positions.shape[0]
+    geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+    vertex_areas = dgeo.barycentric_vertex_areas(geo, topo.tri_rows, n_rows)
+    curv = dgeo.curvature_data(positions, topo.tri_rows, topo.tri_valid, n_rows)
+    c0, c1, c2 = curv.weights[:, 0], curv.weights[:, 1], curv.weights[:, 2]
+
+    def diag_for(k_tilt, k_smooth, fixed_mask):
+        diag = k_tilt * vertex_areas
+        rowsum = dgeo.scatter_add_rows(
+            0.5 * k_smooth * (c1 + c2),
+            0.5 * k_smooth * (c2 + c0),
+            0.5 * k_smooth * (c0 + c1),
+            topo.tri_rows,
+            n_rows,
+        )
+        diag = diag + rowsum
+        diag = jnp.where(diag > 1e-12, diag, 1.0)
+        diag = jnp.where(fixed_mask, 1.0, diag)
+        return 1.0 / diag
+
+    zero = jnp.asarray(0.0, dtype)
+    k_in = params.get("tilt_modulus_in", zero)
+    k_out = params.get("tilt_modulus_out", zero)
+    kb = params.get("bending_modulus", zero)
+    kb_in = params.get("bending_modulus_in", kb)
+    kb_out = params.get("bending_modulus_out", kb)
+    return (
+        diag_for(k_in, kb_in, topo.tilt_fixed_in_mask),
+        diag_for(k_out, kb_out, topo.tilt_fixed_out_mask),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TiltRelaxStats:
+    accepted_steps: jnp.ndarray
+    rejected: jnp.ndarray  # bool: ended on line-search rejection
+    initial_energy: jnp.ndarray
+    final_energy: jnp.ndarray
+    final_gradient_norm: jnp.ndarray
+
+
+def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
+    """relax(state, topo, params) -> (state, TiltRelaxStats), fully traced."""
+    tilt_energy = make_tilt_energy(spec)
+    constraint_rows_fn = make_tilt_constraint_rows(spec)
+    tilt_enforce = make_tilt_enforcer(spec)
+    solver = spec.option("tilt_solver", "cg").lower()
+    use_precond = (
+        solver == "cg"
+        and spec.option("tilt_cg_preconditioner", "jacobi").lower()
+        not in {"none", "off", "false"}
+    )
+
+    def energy_of(tin, tout, state, topo, params):
+        st = dataclasses.replace(state, tilts_in=tin, tilts_out=tout)
+        return tilt_energy(st, topo, params)
+
+    grad_fn = jax.value_and_grad(energy_of, argnums=(0, 1))
+
+    def relax(state: MeshState, topo: Topology, params: Dict, max_iters, step_size, tol):
+        dtype = state.positions.dtype
+        positions = state.positions
+        n_rows = positions.shape[0]
+        geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+        normals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+        fixed_in = topo.tilt_fixed_in_mask
+        fixed_out = topo.tilt_fixed_out_mask
+
+        def tangent(t):
+            return t - jnp.sum(t * normals, axis=1, keepdims=True) * normals
+
+        # 1. enforce tilt constraints + tangent-project
+        state = tilt_enforce(state, topo, params)
+        tin = tangent(state.tilts_in)
+        tout = tangent(state.tilts_out)
+        fixed_vals_in = tin
+        fixed_vals_out = tout
+
+        def eval_grads(tin, tout, st):
+            E, (gin, gout) = grad_fn(tin, tout, st, topo, params)
+            rows = constraint_rows_fn(
+                dataclasses.replace(st, tilts_in=tin, tilts_out=tout), topo, params
+            )
+            gin, gout = project_tilt_gradients_kkt(gin, gout, rows)
+            gin = jnp.where(fixed_in[:, None], 0.0, gin)
+            gout = jnp.where(fixed_out[:, None], 0.0, gout)
+            gnorm = jnp.sqrt(jnp.sum(gin * gin) + jnp.sum(gout * gout))
+            return E, gin, gout, gnorm
+
+        if use_precond:
+            m_in, m_out = jacobi_preconditioner(positions, topo, params)
+        else:
+            m_in = jnp.ones(n_rows, dtype)
+            m_out = jnp.ones(n_rows, dtype)
+
+        def build_trial(base_in, base_out, delta_in, delta_out):
+            trial_in = tangent(base_in + delta_in)
+            trial_out = tangent(base_out + delta_out)
+            trial_in = jnp.where(fixed_in[:, None], fixed_vals_in, trial_in)
+            trial_out = jnp.where(fixed_out[:, None], fixed_vals_out, trial_out)
+            return trial_in, trial_out
+
+        def backtrack(tin, tout, dir_in, dir_out, E0):
+            """12-halving backtracking accept-if-not-worse (tilt_relaxation.py:930-975)."""
+
+            def body(carry):
+                step, bt, done, acc_in, acc_out, acc_E, accepted = carry
+                trial_in, trial_out = build_trial(tin, tout, step * dir_in, step * dir_out)
+                E1 = energy_of(trial_in, trial_out, state, topo, params)
+                accept = E1 <= E0
+                new_step = jnp.where(accept, step, step * 0.5)
+                new_done = accept | (new_step < STEP_FLOOR) | (bt + 1 >= MAX_BACKTRACKS)
+                return (
+                    new_step,
+                    bt + 1,
+                    new_done,
+                    jnp.where(accept, trial_in, acc_in),
+                    jnp.where(accept, trial_out, acc_out),
+                    jnp.where(accept, E1, acc_E),
+                    accepted | accept,
+                )
+
+            def cond(carry):
+                _step, _bt, done, *_ = carry
+                return ~done
+
+            init = (
+                step_size,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+                tin,
+                tout,
+                E0,
+                jnp.asarray(False),
+            )
+            _step, _bt, _done, acc_in, acc_out, acc_E, accepted = jax.lax.while_loop(
+                cond, body, init
+            )
+            return accepted, acc_in, acc_out, acc_E
+
+        if solver == "gd":
+
+            def body(carry):
+                tin, tout, i, done, nacc, rejected, E_last, g_last = carry
+                E0, gin, gout, gnorm = eval_grads(tin, tout, state)
+                conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
+                accepted, new_in, new_out, E1 = backtrack(tin, tout, -gin, -gout, E0)
+                take = accepted & ~conv
+                ref_st = tilt_enforce(
+                    dataclasses.replace(state, tilts_in=new_in, tilts_out=new_out),
+                    topo,
+                    params,
+                )
+                return (
+                    jnp.where(take, tangent(ref_st.tilts_in), tin),
+                    jnp.where(take, tangent(ref_st.tilts_out), tout),
+                    i + 1,
+                    done | conv | ~accepted,
+                    nacc + take.astype(jnp.int32),
+                    rejected | (~accepted & ~conv),
+                    jnp.where(conv, E0, E1),
+                    gnorm,
+                )
+
+            def cond(carry):
+                _ti, _to, i, done, *_ = carry
+                return (~done) & (i < max_iters)
+
+            init = (
+                tin,
+                tout,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+                jnp.asarray(0.0, dtype),
+                jnp.asarray(0.0, dtype),
+            )
+            (tin, tout, _i, _done, nacc, rejected, E_last, g_last) = jax.lax.while_loop(
+                cond, body, init
+            )
+            E_first = jnp.asarray(0.0, dtype)
+        else:
+            # CG path (tilt_relaxation.py:1056-1410)
+            E0, gin, gout, gnorm = eval_grads(tin, tout, state)
+            E_first = E0
+            r_in, r_out = -gin, -gout
+            z_in = r_in * m_in[:, None]
+            z_out = r_out * m_out[:, None]
+            d_in, d_out = z_in, z_out
+            rz_old = jnp.sum(r_in * z_in) + jnp.sum(r_out * z_out)
+
+            def body(carry):
+                (tin, tout, d_in, d_out, rz_old, E0, gnorm, i, done, nacc, rejected) = carry
+                conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
+                accepted, new_in, new_out, E1 = backtrack(tin, tout, d_in, d_out, E0)
+                take = accepted & ~conv
+                # per-accepted-step constraint refresh + tangent projection
+                ref_st = tilt_enforce(
+                    dataclasses.replace(state, tilts_in=new_in, tilts_out=new_out),
+                    topo,
+                    params,
+                )
+                new_in2 = jnp.where(take, tangent(ref_st.tilts_in), tin)
+                new_out2 = jnp.where(take, tangent(ref_st.tilts_out), tout)
+                E2, gin, gout, gnorm2 = eval_grads(new_in2, new_out2, state)
+                r_in, r_out = -gin, -gout
+                z_in = r_in * m_in[:, None]
+                z_out = r_out * m_out[:, None]
+                rz_new = jnp.sum(r_in * z_in) + jnp.sum(r_out * z_out)
+                beta = jnp.where(rz_old != 0.0, rz_new / rz_old, 0.0)
+                nd_in = z_in + beta * d_in
+                nd_out = z_out + beta * d_out
+                stop = conv | ~accepted | (rz_old == 0.0)
+                return (
+                    new_in2,
+                    new_out2,
+                    jnp.where(stop, d_in, nd_in),
+                    jnp.where(stop, d_out, nd_out),
+                    jnp.where(stop, rz_old, rz_new),
+                    jnp.where(take, E2, E0),
+                    jnp.where(take, gnorm2, gnorm),
+                    i + 1,
+                    done | stop,
+                    nacc + take.astype(jnp.int32),
+                    rejected | (~accepted & ~conv),
+                )
+
+            def cond(carry):
+                (*_rest, i, done, _nacc, _rej) = carry
+                return (~done) & (i < max_iters)
+
+            init = (
+                tin,
+                tout,
+                d_in,
+                d_out,
+                rz_old,
+                E0,
+                gnorm,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            )
+            (tin, tout, _di, _do, _rz, E_last, g_last, _i, _done, nacc, rejected) = (
+                jax.lax.while_loop(cond, body, init)
+            )
+
+        out_state = dataclasses.replace(state, tilts_in=tin, tilts_out=tout)
+        stats = TiltRelaxStats(
+            accepted_steps=nacc,
+            rejected=rejected,
+            initial_energy=E_first,
+            final_energy=E_last,
+            final_gradient_norm=g_last,
+        )
+        return out_state, stats
+
+    return relax
