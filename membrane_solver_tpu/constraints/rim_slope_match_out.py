@@ -1,7 +1,7 @@
 """Hard rim-matching constraint: outer-leaflet tilt vs slope (gamma = 0).
 
 Parity: reference ``modules/constraints/rim_slope_match_out.py`` family in
-its default ``pointwise_radial_v1`` mode with equal-count rings:
+its default ``pointwise_radial_v1`` mode:
 
     phi_i = (h_out_i - h_rim_i) / (r_out_i - r_rim_i)      (slope per rim vertex)
     t_out . r_dir_i = phi_i                                 (outer condition)
@@ -16,17 +16,19 @@ heights/radii about (center, normal).  Three hooks:
 - ``make_tilt_constraint_rows``: stacked (in, out) gradient row pairs for the
   leaflet-tilt KKT projection (rim_slope_match_gradients.py:446-589) — per rim
   vertex an out-row (sqrt(w_i) r_dir at the rim row) and an in-row
-  (sqrt(w_i) r_dir at the rim row, minus sqrt(w_i) disk_r_hat at the matched
-  disk-ring row when disk-theta targeting is off);
+  (sqrt(w_i) r_dir at the rim row, minus the disk-side term: the matched disk
+  row's sqrt(w_i) disk_r_hat when the rings pair 1:1, or the arc-length-mean
+  over the whole disk ring otherwise — rim_slope_match_utils.py:62-111);
 - ``make_constraint_gradient_rows``: shape rows tying rim/outer heights
   (rim_slope_match_gradients.py:317-407): per rim vertex
-  +-sqrt(w_i) inv_dr_i n_hat at the rim row and the opposite sign at the
-  outer row, one row per condition.
+  +sqrt(w_i) inv_dr_i n_hat at the rim row and -coeff*(w0, w1) n_hat at the
+  two interpolated outer-ring rows, one row per condition.
 
 Ring ordering (angular, about center/normal) is fixed at compile time; the
-slope, weights, and radial directions are computed from live positions on
-device.  Unequal ring counts (arc-length interpolation) are not yet
-supported and fail loudly at compile.
+slope, arc-length weights, radial directions, and — when the rim and outer
+rings have unequal counts — the normalized-arc-length interpolation pairing
+(idx0, idx1, w0, w1; rim_slope_match_utils.py:182-221) are all computed from
+live positions on device.
 """
 
 from __future__ import annotations
@@ -63,13 +65,20 @@ def _order_ring(layout, rows, center, normal):
     return [rows[i] for i in order]
 
 
-def compile_static(layout):
-    """Hashable flags: whether the constraint is active and has a disk ring."""
-    gp = layout.mesh.global_parameters
+def _groups(gp):
     mode = str(gp.get("rim_slope_match_mode") or "pointwise_radial_v1").lower()
-    group = gp.get("rim_slope_match_group")
-    outer_group = gp.get("rim_slope_match_outer_group")
-    disk_group = gp.get("rim_slope_match_disk_group")
+    return (
+        mode,
+        gp.get("rim_slope_match_group"),
+        gp.get("rim_slope_match_outer_group"),
+        gp.get("rim_slope_match_disk_group"),
+    )
+
+
+def compile_static(layout):
+    """Hashable mode flags: (active, has_disk, interp_outer, local_disk, theta_is_param)."""
+    gp = layout.mesh.global_parameters
+    mode, group, outer_group, disk_group = _groups(gp)
     if mode != "pointwise_radial_v1" or group is None or outer_group is None:
         return ("inactive",)
     rim = _group_rows(layout, group)
@@ -77,88 +86,147 @@ def compile_static(layout):
     disk = _group_rows(layout, disk_group) if disk_group is not None else []
     if not rim or not outer:
         return ("inactive",)
-    return ("active", bool(disk))
+    return (
+        "active",
+        bool(disk),
+        len(outer) != len(rim),
+        bool(disk) and len(disk) == len(rim),
+        gp.get("rim_slope_match_thetaB_param") is not None,
+    )
+
+
+def _pad_ring(layout, rows):
+    n = max(len(rows), 1)
+    nc = 1
+    while nc < n:
+        nc *= 2
+    return (
+        layout.pad_rows(np.asarray(rows or [0], dtype=np.int32), nc, 0),
+        layout.pad_rows(
+            np.ones(len(rows), dtype=bool) if rows else np.zeros(1, dtype=bool),
+            nc,
+            False,
+        ),
+    )
 
 
 def compile_topology(layout) -> dict:
     gp = layout.mesh.global_parameters
-    mode = str(gp.get("rim_slope_match_mode") or "pointwise_radial_v1").lower()
-    group = gp.get("rim_slope_match_group")
-    outer_group = gp.get("rim_slope_match_outer_group")
-    disk_group = gp.get("rim_slope_match_disk_group")
+    mode, group, outer_group, disk_group = _groups(gp)
     center = np.asarray(gp.get("rim_slope_match_center") or [0, 0, 0], dtype=float)
     normal = np.asarray(gp.get("rim_slope_match_normal") or [0, 0, 1], dtype=float)
     normal /= max(np.linalg.norm(normal), 1e-15)
-    theta_param = gp.get("rim_slope_match_thetaB_param")
 
+    if mode != "pointwise_radial_v1":
+        raise NotImplementedError(
+            f"rim_slope_match mode {mode!r} is not supported yet "
+            "(pointwise_radial_v1 only)"
+        )
     empty = {
         "rim": np.zeros(1, dtype=np.int32),
         "outer": np.zeros(1, dtype=np.int32),
         "disk": np.zeros(1, dtype=np.int32),
         "valid": np.zeros(1, dtype=bool),
-        "has_disk": np.asarray(False),
+        "outer_valid": np.zeros(1, dtype=bool),
+        "disk_valid": np.zeros(1, dtype=bool),
         "center": center,
         "normal": normal,
     }
-    if mode != "pointwise_radial_v1" or group is None or outer_group is None:
-        if mode != "pointwise_radial_v1":
-            raise NotImplementedError(
-                f"rim_slope_match mode {mode!r} is not supported yet "
-                "(pointwise_radial_v1 only)"
-            )
+    if group is None or outer_group is None:
         return empty
 
-    rim = _order_ring(layout, _group_rows(layout, group), center, normal)
-    outer = _order_ring(layout, _group_rows(layout, outer_group), center, normal)
-    disk = (
-        _order_ring(layout, _group_rows(layout, disk_group), center, normal)
-        if disk_group is not None
-        else []
-    )
-    if not rim or not outer:
+    rim_raw = _group_rows(layout, group)
+    outer_raw = _group_rows(layout, outer_group)
+    if not rim_raw or not outer_raw:
         return empty
-    if len(rim) != len(outer) or (disk and len(disk) != len(rim)):
-        raise NotImplementedError(
-            "rim_slope_match with unequal ring counts (arc-length interpolation) "
-            f"is not supported yet: rim={len(rim)} outer={len(outer)} disk={len(disk)}"
-        )
-    n = len(rim)
-    nc = 1
-    while nc < n:
-        nc *= 2
-    pad = layout.pad_rows
+    rim = _order_ring(layout, rim_raw, center, normal)
+    outer = _order_ring(layout, outer_raw, center, normal)
+    disk_raw = _group_rows(layout, disk_group) if disk_group is not None else []
+    disk = _order_ring(layout, disk_raw, center, normal) if disk_raw else []
+    rim_arr, rim_valid = _pad_ring(layout, rim)
+    outer_arr, outer_valid = _pad_ring(layout, outer)
+    disk_arr, disk_valid = _pad_ring(layout, disk)
     return {
-        "rim": pad(np.asarray(rim, dtype=np.int32), nc, 0),
-        "outer": pad(np.asarray(outer, dtype=np.int32), nc, 0),
-        "disk": pad(np.asarray(disk or [0] * n, dtype=np.int32), nc, 0),
-        "valid": pad(np.ones(n, dtype=bool), nc, False),
-        "has_disk": np.asarray(bool(disk)),
+        "rim": rim_arr,
+        "outer": outer_arr,
+        "disk": disk_arr,
+        "valid": rim_valid,
+        "outer_valid": outer_valid,
+        "disk_valid": disk_valid,
         "center": center,
         "normal": normal,
-        "theta_is_param": np.asarray(theta_param is not None),
     }
 
 
-def _x(topo, key):
-    return topo.extras[f"constraint:rim_slope_match_out/{key}"]
+def _x(topo, key, prefix="constraint:rim_slope_match_out"):
+    return topo.extras[f"{prefix}/{key}"]
 
 
-def matching_data(positions, topo, params):
-    """(valid, phi, inv_dr, r_dir, weights) computed from live positions."""
+def _ring_arc_params(pos, valid):
+    """Normalized arc-length parameter per ring vertex (utils:182-194)."""
+    k = pos.shape[0]
+    idx = jnp.arange(k)
+    n_live = jnp.sum(valid.astype(jnp.int32))
+    nxt = jnp.where(idx + 1 >= n_live, 0, idx + 1)
+    seg = jnp.where(idx < n_live, jnp.linalg.norm(pos[nxt] - pos, axis=1), 0.0)
+    total = jnp.sum(seg)
+    s = jnp.concatenate([jnp.zeros((1,), pos.dtype), jnp.cumsum(seg)[:-1]])
+    return s / jnp.maximum(total, 1e-300), total
+
+
+def _interp_ring(outer_pos, outer_valid, s_targets):
+    """(idx0, idx1, w0, w1) arc-length interpolation pairing (utils:196-221)."""
+    s_out, _total = _ring_arc_params(outer_pos, outer_valid)
+    k = outer_pos.shape[0]
+    n_live = jnp.sum(outer_valid.astype(jnp.int32))
+    # push padded entries past any target in [0, 1)
+    s_sorted = jnp.where(jnp.arange(k) < n_live, s_out, 2.0)
+    idx1_raw = jnp.searchsorted(s_sorted, s_targets, side="right")
+    idx1 = idx1_raw % jnp.maximum(n_live, 1)
+    idx0 = (idx1_raw - 1) % jnp.maximum(n_live, 1)
+    s0 = s_out[idx0]
+    s1 = s_out[idx1]
+    s1_adj = jnp.where(s1 <= s0, s1 + 1.0, s1)
+    st_adj = jnp.where(s_targets < s0, s_targets + 1.0, s_targets)
+    denom = s1_adj - s0
+    t = jnp.where(denom > 1e-12, (st_adj - s0) / jnp.maximum(denom, 1e-12), 0.0)
+    return idx0, idx1, 1.0 - t, t
+
+
+def matching_data(positions, topo, params, *, interp_outer: bool, prefix="constraint:rim_slope_match_out"):
+    """Live matching payload (valid, phi, inv_dr, r_hat, weights, normal, outer map).
+
+    Parity: rim_slope_match_payload.py:_build_matching_data (pointwise branch)
+    — recomputed from the current positions at every evaluation, as the
+    reference does on each version-keyed cache miss.
+    """
     dtype = positions.dtype
-    rim = _x(topo, "rim")
-    outer = _x(topo, "outer")
-    ring_valid = _x(topo, "valid")
-    center = jnp.asarray(_x(topo, "center"), dtype)
-    normal = jnp.asarray(_x(topo, "normal"), dtype)
+    rim = _x(topo, "rim", prefix)
+    outer = _x(topo, "outer", prefix)
+    ring_valid = _x(topo, "valid", prefix)
+    outer_valid = _x(topo, "outer_valid", prefix)
+    center = jnp.asarray(_x(topo, "center", prefix), dtype)
+    normal = jnp.asarray(_x(topo, "normal", prefix), dtype)
 
     rim_pos = positions[rim]
-    outer_pos = positions[outer]
     rel = rim_pos - center
     rel_p = rel - jnp.sum(rel * normal, axis=1, keepdims=True) * normal
     r_len = jnp.linalg.norm(rel_p, axis=1)
     good = ring_valid & (r_len > 1e-12)
     r_hat = jnp.where(good[:, None], rel_p / jnp.maximum(r_len, 1e-12)[:, None], 0.0)
+
+    k = rim.shape[0]
+    if interp_outer:
+        s_rim, _ = _ring_arc_params(rim_pos, ring_valid)
+        idx0, idx1, w0, w1 = _interp_ring(positions[outer], outer_valid, s_rim)
+        outer_pos = (
+            w0[:, None] * positions[outer[idx0]] + w1[:, None] * positions[outer[idx1]]
+        )
+    else:
+        idx0 = idx1 = jnp.arange(k)
+        w0 = jnp.ones((k,), dtype)
+        w1 = jnp.zeros((k,), dtype)
+        outer_pos = positions[outer]
 
     h_rim = jnp.sum((rim_pos - center) * normal, axis=1)
     h_out = jnp.sum((outer_pos - center) * normal, axis=1)
@@ -171,7 +239,6 @@ def matching_data(positions, topo, params):
     phi = jnp.where(valid, (h_out - h_rim) * inv_dr, 0.0)
 
     # arc-length weights on the rim ring (live rows only)
-    k = rim.shape[0]
     idx = jnp.arange(k)
     n_live = jnp.sum(ring_valid.astype(jnp.int32))
     nxt = jnp.where(idx + 1 >= n_live, 0, idx + 1)
@@ -179,7 +246,7 @@ def matching_data(positions, topo, params):
     l_next = jnp.linalg.norm(rim_pos[nxt] - rim_pos, axis=1)
     l_prev = jnp.linalg.norm(rim_pos - rim_pos[prv], axis=1)
     weights = jnp.where(valid, 0.5 * (l_next + l_prev), 0.0)
-    return valid, phi, inv_dr, r_hat, weights, normal
+    return valid, phi, inv_dr, r_hat, weights, normal, (idx0, idx1, w0, w1)
 
 
 def _tangent_radial(r_hat, vnormals, rows):
@@ -190,51 +257,140 @@ def _tangent_radial(r_hat, vnormals, rows):
     return jnp.where(ok[:, None], r_dir / jnp.maximum(norm, 1e-12)[:, None], 0.0), ok
 
 
+def _disk_geometry(positions, topo, dtype, prefix="constraint:rim_slope_match_out"):
+    """(disk rows, valid, r_hat, arc-length weights) for the disk ring."""
+    disk = _x(topo, "disk", prefix)
+    disk_valid = _x(topo, "disk_valid", prefix)
+    center = jnp.asarray(_x(topo, "center", prefix), dtype)
+    normal = jnp.asarray(_x(topo, "normal", prefix), dtype)
+    disk_pos = positions[disk]
+    rel = disk_pos - center
+    rel_p = rel - jnp.sum(rel * normal, axis=1, keepdims=True) * normal
+    dlen = jnp.linalg.norm(rel_p, axis=1)
+    good = disk_valid & (dlen > 1e-12)
+    disk_r_hat = jnp.where(
+        good[:, None], rel_p / jnp.maximum(dlen, 1e-12)[:, None], 0.0
+    )
+    k = disk.shape[0]
+    idx = jnp.arange(k)
+    n_live = jnp.sum(disk_valid.astype(jnp.int32))
+    nxt = jnp.where(idx + 1 >= n_live, 0, idx + 1)
+    prv = jnp.where(idx - 1 < 0, n_live - 1, idx - 1)
+    l_next = jnp.linalg.norm(disk_pos[nxt] - disk_pos, axis=1)
+    l_prev = jnp.linalg.norm(disk_pos - disk_pos[prv], axis=1)
+    w = jnp.where(good, 0.5 * (l_next + l_prev), 0.0)
+    return disk, good, disk_r_hat, w
+
+
+def _spec_flags_for(spec, key="constraint:rim_slope_match_out"):
+    flags = spec.static_of(key, ("inactive",))
+    if flags[0] != "active":
+        return None
+    if len(flags) < 5:
+        return (bool(flags[1]), False, bool(flags[1]), True)
+    return (bool(flags[1]), bool(flags[2]), bool(flags[3]), bool(flags[4]))
+
+
+def _spec_flags(spec):
+    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
+    if flags[0] != "active":
+        return None
+    # legacy 2-tuple from older compiles: assume equal rings, param theta
+    if len(flags) < 5:
+        return (bool(flags[1]), False, bool(flags[1]), True)
+    return (bool(flags[1]), bool(flags[2]), bool(flags[3]), bool(flags[4]))
+
+
+def make_enforce_tilts(spec):
+    flags = _spec_flags(spec)
+    if flags is None:
+        return None
+    has_disk, interp_outer, local_disk, theta_is_param = flags
+
+    def enforce(state, topo, params):
+        """Project rim tilts onto the matching conditions (pointwise)."""
+        positions = state.positions
+        valid, phi, _inv_dr, r_hat, _w, _normal, _omap = matching_data(
+            positions, topo, params, interp_outer=interp_outer
+        )
+        rim = _x(topo, "rim")
+        n_rows = positions.shape[0]
+        geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+        vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+        r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
+        use = valid & dir_ok
+
+        tilts_out = state.tilts_out
+        ok_out = use & ~topo.tilt_fixed_out_mask[rim]
+        t_out_rad = jnp.sum(tilts_out[rim] * r_dir, axis=1)
+        delta_out = jnp.where(ok_out, phi - t_out_rad, 0.0)
+        tilts_out = tilts_out.at[rim].add(delta_out[:, None] * r_dir)
+
+        # inner condition target theta_disk (rim_slope_match_out.py:82-101)
+        tilts_in = state.tilts_in
+        if theta_is_param or not has_disk:
+            theta = params.get("tilt_thetaB_value", jnp.asarray(0.0))
+            theta_i = jnp.full_like(phi, theta)
+        else:
+            disk, dgood, disk_r_hat, dw = _disk_geometry(
+                positions, topo, positions.dtype
+            )
+            theta_vals = jnp.sum(tilts_in[disk] * disk_r_hat, axis=1)
+            if local_disk:
+                theta_i = theta_vals
+            else:
+                wsum = jnp.sum(jnp.where(dgood, dw, 0.0))
+                theta_i = jnp.full_like(
+                    phi,
+                    jnp.sum(jnp.where(dgood, dw * theta_vals, 0.0))
+                    / jnp.maximum(wsum, 1e-300),
+                )
+        ok_in = use & ~topo.tilt_fixed_in_mask[rim]
+        t_in_rad = jnp.sum(tilts_in[rim] * r_dir, axis=1)
+        delta_in = jnp.where(ok_in, (theta_i - phi) - t_in_rad, 0.0)
+        tilts_in = tilts_in.at[rim].add(delta_in[:, None] * r_dir)
+
+        return dataclasses.replace(state, tilts_in=tilts_in, tilts_out=tilts_out)
+
+    return enforce
+
+
 def enforce_tilts(state, topo, params):
-    """Project rim tilts onto the matching conditions (pointwise, scalar theta)."""
-    positions = state.positions
-    valid, phi, _inv_dr, r_hat, _w, _normal = matching_data(positions, topo, params)
-    rim = _x(topo, "rim")
-    n_rows = positions.shape[0]
-    geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
-    vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
-    r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
-    use = valid & dir_ok
-
-    theta_B = params.get("tilt_thetaB_value", jnp.asarray(0.0))
-
-    tilts_out = state.tilts_out
-    ok_out = use & ~topo.tilt_fixed_out_mask[rim]
-    t_out_rad = jnp.sum(tilts_out[rim] * r_dir, axis=1)
-    delta_out = jnp.where(ok_out, phi - t_out_rad, 0.0)
-    tilts_out = tilts_out.at[rim].add(delta_out[:, None] * r_dir)
-
-    tilts_in = state.tilts_in
-    ok_in = use & ~topo.tilt_fixed_in_mask[rim]
-    t_in_rad = jnp.sum(tilts_in[rim] * r_dir, axis=1)
-    delta_in = jnp.where(ok_in, (theta_B - phi) - t_in_rad, 0.0)
-    tilts_in = tilts_in.at[rim].add(delta_in[:, None] * r_dir)
-
-    return dataclasses.replace(state, tilts_in=tilts_in, tilts_out=tilts_out)
+    """Module-level fallback used when no spec is available (param-theta lane)."""
+    if "constraint:rim_slope_match_out/rim" not in topo.extras:
+        return state
+    fake = type(
+        "S",
+        (),
+        {
+            "static_of": lambda self, key, default: (
+                "active",
+                True,
+                False,
+                True,
+                True,
+            )
+        },
+    )()
+    fn = make_enforce_tilts(fake)
+    return fn(state, topo, params)
 
 
 def make_tilt_constraint_rows(spec):
     """(k, 2, Nv, 3) stacked (in, out) tilt-gradient row pairs, or None."""
-    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
-    if flags[0] != "active":
+    flags = _spec_flags(spec)
+    if flags is None:
         return lambda state, topo, params: None
-    static_has_disk = bool(flags[1])
+    has_disk, interp_outer, local_disk, _theta_is_param = flags
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
             return None
         positions = state.positions
-        valid, phi, _inv_dr, r_hat, weights, _normal = matching_data(
-            positions, topo, params
+        valid, phi, _inv_dr, r_hat, weights, _normal, _omap = matching_data(
+            positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
-        disk = _x(topo, "disk")
-        has_disk = static_has_disk
         n_rows = positions.shape[0]
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
@@ -255,19 +411,20 @@ def make_tilt_constraint_rows(spec):
         if not has_disk:
             return out_pairs
 
-        # in condition rows: gin = coeff * r_dir at rim row - coeff * disk_r_hat
-        # at the matched disk row (disk-theta targeting off in default lanes)
-        center = jnp.asarray(_x(topo, "center"), dtype)
-        normal = jnp.asarray(_x(topo, "normal"), dtype)
-        disk_pos = positions[disk]
-        rel = disk_pos - center
-        rel_p = rel - jnp.sum(rel * normal, axis=1, keepdims=True) * normal
-        dlen = jnp.linalg.norm(rel_p, axis=1)
-        disk_r_hat = jnp.where(
-            (dlen > 1e-12)[:, None], rel_p / jnp.maximum(dlen, 1e-12)[:, None], 0.0
-        )
+        # in rows: coeff * r_dir at rim row minus the disk-side term
+        # (rim_slope_match_utils.py:90-111; theta-scalar lanes without
+        # disk-theta targeting use the same structure)
+        disk, dgood, disk_r_hat, dw = _disk_geometry(positions, topo, dtype)
         gin = jnp.zeros((k, n_rows, 3), dtype).at[idx, rim].add(coeff[:, None] * r_dir)
-        gin = gin.at[idx, disk].add(-coeff[:, None] * disk_r_hat)
+        if local_disk:
+            gin = gin.at[idx, disk].add(-coeff[:, None] * disk_r_hat)
+        else:
+            wsum = jnp.sum(jnp.where(dgood, dw, 0.0))
+            mean_dirs = (dw / jnp.maximum(wsum, 1e-300))[:, None] * disk_r_hat
+            shared = jnp.zeros((n_rows, 3), dtype).at[disk].add(
+                jnp.where(dgood[:, None], mean_dirs, 0.0)
+            )
+            gin = gin - coeff[:, None, None] * shared[None, :, :]
         in_pairs = jnp.stack([gin, zeros], axis=1)
         return jnp.concatenate([out_pairs, in_pairs], axis=0)
 
@@ -276,21 +433,21 @@ def make_tilt_constraint_rows(spec):
 
 def make_constraint_gradient_rows(spec):
     """Shape KKT rows tying rim/outer heights (one per condition per rim vertex)."""
-    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
-    if flags[0] != "active":
+    flags = _spec_flags(spec)
+    if flags is None:
         return lambda state, topo, params: None
-    static_has_disk = bool(flags[1])
+    has_disk, interp_outer, _local_disk, _theta_is_param = flags
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
             return None
         positions = state.positions
-        valid, _phi, inv_dr, _r_hat, weights, normal = matching_data(
-            positions, topo, params
+        valid, _phi, inv_dr, _r_hat, weights, normal, omap = matching_data(
+            positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
         outer = _x(topo, "outer")
-        has_disk = static_has_disk
+        idx0, idx1, w0, w1 = omap
         k = rim.shape[0]
         n_rows = positions.shape[0]
         dtype = positions.dtype
@@ -301,8 +458,10 @@ def make_constraint_gradient_rows(spec):
             jnp.zeros((k, n_rows, 3), dtype)
             .at[idx, rim]
             .add(coeff[:, None] * nvec)
-            .at[idx, outer]
-            .add(-coeff[:, None] * nvec)
+            .at[idx, outer[idx0]]
+            .add(-(coeff * w0)[:, None] * nvec)
+            .at[idx, outer[idx1]]
+            .add(-(coeff * w1)[:, None] * nvec)
         )
         if not has_disk:
             return g_out

@@ -351,6 +351,13 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "tilt_solve_mode",
     "tilt_cg_preconditioner",
     "tilt_transport_model",
+    "tilt_divergence_mode",
+    "tilt_divergence_mode_in",
+    "tilt_coupling_mode",
+    "tilt_couping_mode",
+    "tilt_thetaB_contact_penalty_mode",
+    "tilt_thetaB_contact_work_mode",
+    "bending_tilt_energy_model",
 )
 
 
@@ -400,6 +407,19 @@ _SCALAR_PARAM_KEYS: Tuple[str, ...] = (
     "rim_slope_match_strength",
     "tilt_relax_energy_guard_factor",
     "tilt_relax_energy_guard_min",
+    "tilt_splay_modulus_in",
+    "tilt_twist_modulus",
+    "tilt_twist_modulus_in",
+    "tilt_rim_source_strength_in",
+    "tilt_rim_source_strength_out",
+    "tilt_rim_source_strength",
+    "tilt_disk_contact_strength_in",
+    "tilt_disk_target_strength_in",
+    "tilt_disk_target_strength_out",
+    "tilt_disk_target_value_in",
+    "tilt_disk_target_value_out",
+    "curved_local_interface_law_strength",
+    "curved_local_interface_penalty_strength",
 )
 
 

@@ -45,6 +45,13 @@ class Mesh:
         self.vertex_to_facets: Dict[int, set] = {}
         self.edge_to_facets: Dict[int, set] = {}
         self._connectivity_dirty = True
+        # host-mutation counter: bump after in-place geometry edits so the
+        # compiled device state knows to refresh (analog of the reference's
+        # mesh version counters, minus the cache layer they drive)
+        self._version = 0
+
+    def increment_version(self) -> None:
+        self._version += 1
 
     # ------------------------------------------------------------------
     # entity access

@@ -108,6 +108,13 @@ class Minimizer:
 
     def problem(self) -> CompiledProblem:
         fp = self._fingerprint_params()
+        # Host mesh mutated in place (vertex_average, set-commands, manual
+        # edits) or swapped: the device state is stale — drop it WITHOUT
+        # writeback (the host is the source of truth for host-side edits).
+        mesh_token = (id(self.mesh), getattr(self.mesh, "_version", 0))
+        if self._problem is not None and mesh_token != getattr(self, "_mesh_token", None):
+            self._problem = None
+        self._mesh_token = mesh_token
         if self._problem is None or fp != self._params_fingerprint:
             if self._problem is not None:
                 # keep device-evolved state: sync host first
@@ -181,8 +188,13 @@ class Minimizer:
         enforce = jit_core.make_constraint_enforcer(p.spec)
         if enforce is not None:
             p.state = enforce(p.state, p.topo, p.params, context="mesh_operation")
-            self._sync_host()
-            self.mesh.project_tilts_to_tangent()
+        # tilt-only constraints also re-enforce after topology surgery
+        # (reference minimizer.enforce_constraints_after_mesh_ops)
+        from membrane_solver_tpu.runtime import tilt_relax as _tr
+
+        p.state = _tr.make_tilt_enforcer(p.spec)(p.state, p.topo, p.params)
+        self._sync_host()
+        self.mesh.project_tilts_to_tangent()
 
     def _enforce_constraints(self, mesh: Mesh | None = None) -> None:
         if not self._has_enforceable_constraints:

@@ -104,7 +104,8 @@ def make_tilt_enforcer(spec: ProblemSpec) -> Callable:
     fns = []
     for name in dict.fromkeys(spec.constraint_modules):
         mod = get_constraint(name)
-        fn = getattr(mod, "enforce_tilts", None)
+        maker = getattr(mod, "make_enforce_tilts", None)
+        fn = maker(spec) if maker is not None else getattr(mod, "enforce_tilts", None)
         if fn is not None:
             fns.append(fn)
 

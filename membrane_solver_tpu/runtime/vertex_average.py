@@ -127,3 +127,4 @@ def vertex_average(mesh: Mesh) -> None:
 
     for vid, total in accum.items():
         mesh.vertices[vid].position = total / counts[vid]
+    mesh.increment_version()

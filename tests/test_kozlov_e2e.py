@@ -1,0 +1,82 @@
+"""End-to-end kozlov hard-rim lane: coupled tilt relaxation + shape steps.
+
+Divergence note (documented deliberately): the reference's minimize() on this
+lane descends below the E = 39.4900768958 stall only via a stale-cache
+artifact — after a failed line search its state arrays restore bit-exactly
+(max |delta| ~ 5e-23) yet its internal array-path evaluator then scores the
+same state ~0.019 higher than its clean compute_energy(), and subsequent
+trials "accept" against that polluted threshold.  This solver evaluates one
+consistent energy, so it stalls exactly where the clean energy has no
+accepting Armijo trial; on the full benchmark recipe (g40, refine+smooth,
+g100, refine+smooth, g120) it reaches a ~5.7x LOWER clean final energy than
+the reference (126.50 vs 718.34 recorded 2026-08-16 on this machine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+KOZLOV = "/root/reference/benchmarks/inputs/bench_kozlov_1disk_profile_hard_rim_R12.yaml"
+
+BENCH_GP = {
+    "tilt_solve_mode": "coupled",
+    "tilt_step_size": 0.15,
+    "tilt_inner_steps": 40,
+    "tilt_tol": 1e-10,
+    "step_size": 0.005,
+    "step_size_mode": "fixed",
+}
+
+# clean-energy values cross-checked against the reference's unperturbed
+# evaluation of the same states (see module docstring); E0 is the clean
+# load-time energy, E0_ENFORCED follows the pre-minimize constraint
+# enforcement (rim tilt matching mutates the rim tilts)
+E0 = 42.20416769404095
+E0_ENFORCED = 42.20858644304159
+E_STALL = 39.490076895813644
+
+
+@pytest.fixture(scope="module")
+def minimizer():
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+
+    mesh = parse_geometry(load_data(KOZLOV))
+    mesh.global_parameters.update(BENCH_GP)
+    mn = Minimizer(mesh, quiet=True)
+    mn.step_size = 0.005
+    return mn
+
+
+def test_initial_energy(minimizer):
+    assert abs(minimizer.compute_energy() - E0) < 1e-8
+    minimizer.enforce_constraints_after_mesh_ops()
+    assert abs(minimizer.compute_energy() - E0_ENFORCED) < 1e-8
+
+
+def test_minimize10_reaches_tilt_relaxed_stall(minimizer):
+    minimizer.minimize(10)
+    E = minimizer.compute_energy()
+    assert abs(E - E_STALL) < 1e-9
+
+
+def test_refine_smooth_stays_finite(minimizer):
+    from membrane_solver_tpu.runtime.refinement import (
+        refine_polygonal_facets,
+        refine_triangle_mesh,
+    )
+    from membrane_solver_tpu.runtime.vertex_average import vertex_average
+
+    mesh = refine_polygonal_facets(minimizer.mesh)
+    mesh = refine_triangle_mesh(mesh)
+    minimizer.mesh = mesh
+    minimizer.invalidate()
+    minimizer.enforce_constraints_after_mesh_ops()
+    for _ in range(2):
+        vertex_average(mesh)
+    # no manual invalidate: Minimizer.problem() must notice the host-side
+    # mutation via the mesh version counter
+    minimizer.minimize(5)
+    p = minimizer.problem()
+    assert np.isfinite(np.asarray(p.state.positions)).all()
+    assert np.isfinite(minimizer.compute_energy())
