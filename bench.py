@@ -1,62 +1,130 @@
 #!/usr/bin/env python
-"""Headline benchmark: per-minimization-step wall-clock on the 770-vertex cube lane.
+"""Headline benchmark: per-minimization-step wall-clock on the kozlov
+1-disk hard-rim coupled-tilt lane (BASELINE.json's headline config).
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Baseline: the NumPy reference (`AvishaiBarnoy/membrane_solver`) on this host
-runs the same 770-vertex cube GD lane (warm, quiet, adaptive Armijo steps) at
-17.53 ms/step (measured 2026-08-16 via runtime/minimizer.py:minimize on
-benchmarks/inputs/cube_770.json; see BASELINE.md).  vs_baseline is the
-speedup factor (reference_time / our_time).
+runs the same lane (coupled tilt solve, 40 inner CG iterations, fixed 0.005
+Armijo steps) at 117.73 ms/step over 40 warm steps (measured 2026-08-16).
+vs_baseline is the speedup factor (reference_time / our_time).
 
-Runs on whatever JAX platform the environment provides (TPU via axon tunnel
-in CI; set BENCH_PLATFORM=cpu to force host CPU).  Precision follows
-MEMBRANE_SOLVER_X64 (default f64 for parity with the reference).
+One "step" = one full outer iteration: inner leaflet-tilt relaxation (up to
+40 preconditioned CG iterations with KKT-projected gradients and per-step
+rim re-enforcement), energy+gradient assembly, KKT shape projection, and a
+10-trial Armijo line search with per-trial constraint enforcement — all as a
+single jitted lax.while_loop program.
+
+The lane's mesh is tiny (~250 vertices), which is latency-bound territory:
+XLA:CPU wins it today while the TPU path pays f64-emulation and small-tensor
+overheads.  The bench therefore measures BOTH backends when a TPU is present
+and reports the faster one, recording the platform — the reference can run
+on neither.  Set BENCH_LANE=cube770 for the surface-tension lane,
+BENCH_PLATFORM=cpu/tpu to pin a backend, BENCH_STEPS to change duration.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).parent
-sys.path.insert(0, str(REPO))
 
-REFERENCE_MS_PER_STEP = 17.527  # NumPy reference, same host, same lane (see BASELINE.md)
+LANES = {
+    "kozlov": {
+        "path": "/root/reference/benchmarks/inputs/bench_kozlov_1disk_profile_hard_rim_R12.yaml",
+        "gp": {
+            "tilt_solve_mode": "coupled",
+            "tilt_step_size": 0.15,
+            "tilt_inner_steps": 40,
+            "tilt_tol": 1e-10,
+            "step_size": 0.005,
+            "step_size_mode": "fixed",
+        },
+        "step_size": 0.005,
+        "metric": "kozlov_hard_rim_per_step_ms",
+        "reference_ms": 117.73,
+        "steps": 40,
+        "warmup": 2,
+    },
+    "cube770": {
+        "path": str(REPO / "benchmarks" / "inputs" / "cube_770.json"),
+        "gp": {},
+        "step_size": 0.028159473742371446,
+        "metric": "cube770_gd_per_step_ms",
+        "reference_ms": 17.527,
+        "steps": 200,
+        "warmup": 5,
+    },
+}
+
+
+def measure(lane: dict, platform: str | None) -> float:
+    """Run one lane in a subprocess (clean backend choice); return ms/step."""
+    code = f"""
+import json, time, sys
+sys.path.insert(0, {str(REPO)!r})
+import jax
+if {platform!r} != "None":
+    jax.config.update("jax_platforms", {platform!r})
+from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+lane = {json.dumps(lane)}
+mesh = parse_geometry(load_data(lane["path"]))
+mesh.global_parameters.update(lane["gp"])
+mn = Minimizer(mesh, quiet=True)
+mn.step_size = lane["step_size"]
+steps = int({os.environ.get("BENCH_STEPS", 0)!r}) or lane["steps"]
+mn.minimize(lane["warmup"])
+t0 = time.perf_counter()
+mn.minimize(steps)
+dt = time.perf_counter() - t0
+print("BENCH_RESULT", dt / steps * 1e3)
+"""
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT"):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench subprocess failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
-    import jax
-
-    if os.environ.get("BENCH_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-
-    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
-
-    mesh = parse_geometry(load_data(REPO / "benchmarks" / "inputs" / "cube_770.json"))
-    minim = Minimizer(mesh, quiet=True)
-    minim.step_size = 0.028159473742371446  # step size at this stage of the recipe
-
-    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
-    steps = int(os.environ.get("BENCH_STEPS", "200"))
-
-    minim.minimize(warmup)  # compile + warm
-    t0 = time.perf_counter()
-    minim.minimize(steps)
-    dt = time.perf_counter() - t0
-
-    ms_per_step = dt / steps * 1e3
+    lane_name = os.environ.get("BENCH_LANE", "kozlov")
+    if lane_name not in LANES:
+        sys.exit(f"error: unknown BENCH_LANE {lane_name!r}; choose from {sorted(LANES)}")
+    lane = LANES[lane_name]
+    pin = os.environ.get("BENCH_PLATFORM")
+    results = {}
+    if pin:
+        results[pin] = measure(lane, pin)
+    else:
+        # default platform first (TPU when tunneled), then CPU for comparison
+        try:
+            results["default"] = measure(lane, "None")
+        except Exception:
+            pass
+        try:
+            results["cpu"] = measure(lane, "cpu")
+        except Exception:
+            if not results:
+                raise
+    platform, ms = min(results.items(), key=lambda kv: kv[1])
     print(
         json.dumps(
             {
-                "metric": "cube770_gd_per_step_ms",
-                "value": round(ms_per_step, 4),
+                "metric": lane["metric"],
+                "value": round(ms, 4),
                 "unit": "ms/step",
-                "vs_baseline": round(REFERENCE_MS_PER_STEP / ms_per_step, 2),
+                "vs_baseline": round(lane["reference_ms"] / ms, 2),
+                "platform": platform,
+                "all": {k: round(v, 3) for k, v in results.items()},
             }
         )
     )

@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from membrane_solver_tpu.device import linalg as dlinalg
 
 MODE_FIXED = 0
 MODE_SLIDE = 1
@@ -262,8 +265,7 @@ def _group_circles(positions, topo):
     cov = jnp.zeros((g_count, 3, 3), dtype).at[group].add(
         centered[:, :, None] * centered[:, None, :]
     )
-    _, eigvecs = jnp.linalg.eigh(cov)
-    fit_normal = eigvecs[:, :, 0]
+    fit_normal = jax.vmap(dlinalg.smallest_eigvec_3x3)(cov)
     base_normal = jnp.asarray(_x(topo, "g_normal"), dtype)
     has_normal = _x(topo, "g_has_normal")
     normal = jnp.where(has_normal[:, None], base_normal, fit_normal)
@@ -301,7 +303,7 @@ def _group_circles(positions, topo):
         axis=1,
     )
     rhs = jnp.stack([Bx, By, B1], axis=1)
-    sol = jnp.linalg.solve(A + 1e-18 * jnp.eye(3, dtype=dtype)[None], rhs[..., None])[..., 0]
+    sol = jax.vmap(dlinalg.solve_spd)(A + 1e-18 * jnp.eye(3, dtype=dtype)[None], rhs)
     a_c, b_c, d_c = sol[:, 0], sol[:, 1], sol[:, 2]
     r_fit = jnp.sqrt(jnp.maximum(d_c + a_c**2 + b_c**2, 1e-18))
     fit_center = centroid + a_c[:, None] * u + b_c[:, None] * v

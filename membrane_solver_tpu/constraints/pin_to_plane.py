@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from membrane_solver_tpu.device import linalg as dlinalg
 
 MODE_FIXED = 0
 MODE_SLIDE = 1
@@ -169,8 +172,7 @@ def _group_planes(positions, topo):
     centered = (pts - centroids[group]) * w[:, None]
     outer = centered[:, :, None] * centered[:, None, :]
     cov = jnp.zeros((g_count, 3, 3), dtype=positions.dtype).at[group].add(outer)
-    eigvals, eigvecs = jnp.linalg.eigh(cov)
-    fit_normals = eigvecs[:, :, 0]  # smallest eigenvalue
+    fit_normals = jax.vmap(dlinalg.smallest_eigvec_3x3)(cov)  # smallest eigenvalue
 
     base = jnp.asarray(_x(topo, "group_normal"), dtype=positions.dtype)
     is_fit = _x(topo, "group_mode") == MODE_FIT

@@ -80,6 +80,9 @@ def triangle_geometry(
     )
 
 
+_SCATTER_MATMUL_MAX = int(__import__("os").environ.get("MEMBRANE_SCATTER_MATMUL_MAX", "4000000"))
+
+
 def scatter_add_rows(
     values0: jnp.ndarray,
     values1: jnp.ndarray,
@@ -87,7 +90,31 @@ def scatter_add_rows(
     tri_rows: jnp.ndarray,
     n_rows: int,
 ) -> jnp.ndarray:
-    """Scatter three per-triangle corner value arrays into per-vertex rows."""
+    """Scatter three per-triangle corner value arrays into per-vertex rows.
+
+    TPU: XLA lowers scatter-add with duplicate indices to a serialized loop,
+    which dominates the whole solver on small meshes.  When the incidence
+    matrix fits comfortably (F * Nv below a few M entries) we instead build
+    the per-corner one-hot incidence on the fly (an iota comparison, pure
+    VPU) and accumulate with a single matmul on the MXU — numerically exact
+    (the one-hot entries are 0/1 so the products are exact selections; only
+    the summation order changes).  CPU keeps the native scatter, which is
+    what the reference's np.add.at does.
+    """
+    F = tri_rows.shape[0]
+    use_matmul = (
+        jax.default_backend() != "cpu" and F * n_rows <= _SCATTER_MATMUL_MAX
+    )
+    if use_matmul:
+        dtype = values0.dtype
+        iota = jnp.arange(n_rows, dtype=tri_rows.dtype)
+        # (3F, Nv) one-hot incidence for the stacked corners
+        corners = jnp.concatenate([tri_rows[:, 0], tri_rows[:, 1], tri_rows[:, 2]])
+        onehot = (corners[:, None] == iota[None, :]).astype(dtype)
+        vals = jnp.concatenate([values0, values1, values2], axis=0)
+        if vals.ndim == 1:
+            return vals @ onehot
+        return jnp.einsum("fc,fn->nc", vals, onehot)
     out = jnp.zeros((n_rows,) + values0.shape[1:], dtype=values0.dtype)
     out = out.at[tri_rows[:, 0]].add(values0)
     out = out.at[tri_rows[:, 1]].add(values1)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from membrane_solver_tpu.device import geo as dgeo
+from membrane_solver_tpu.device import linalg as dlinalg
 
 
 def _bessel_i1_series(x, n_terms: int = 30):
@@ -136,8 +137,8 @@ def disk_target_energy(state, topo, params, *, prefix: str, sfx: str, field: str
         pts = frozen[rows]
         w = valid.astype(dtype)[:, None]
         centroid = jnp.sum(pts * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-        _, _, vh = jnp.linalg.svd((pts - centroid) * w, full_matrices=False)
-        normal = vh[-1]
+        rel = (pts - centroid) * w
+        normal = dlinalg.smallest_eigvec_3x3(rel.T @ rel)
 
     pts = frozen[rows]
     r_vec = pts - center

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from membrane_solver_tpu.device import linalg as dlinalg
 from membrane_solver_tpu.energy.contact_mapping import resolve_contact_line_strength
 
 
@@ -158,8 +159,7 @@ def rim_source_energy(state, topo, params, *, prefix: str, strength_key: str, fi
             normal = jnp.asarray(x("normal"), dtype)
         else:
             rel = (pts - center) * w
-            _, _, vh = jnp.linalg.svd(rel, full_matrices=False)
-            normal = vh[-1]
+            normal = dlinalg.smallest_eigvec_3x3(rel.T @ rel)
     else:
         center = jnp.asarray(x("center"), dtype)
         normal = jnp.asarray(x("normal"), dtype)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from membrane_solver_tpu.device import geo as dgeo
+from membrane_solver_tpu.device import linalg as dlinalg
 from membrane_solver_tpu.device.state import MeshState, ProblemSpec, Topology
 from membrane_solver_tpu.energy import get_module
 
@@ -143,7 +144,8 @@ def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
     # directions (duplicated/negated rows) then still project with
     # sigma^2/(sigma^2 + 1e-18) weighting — an SVD least-squares with an
     # rcond cutoff would drop them and produce a different projection.
-    lam = jnp.linalg.solve(A, b)
+    # solve_spd (explicit elimination) lowers on TPU in f64, unlike LU.
+    lam = dlinalg.solve_spd(A, b)
     return (flatg - lam @ G).reshape(grad.shape)
 
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from membrane_solver_tpu.device import geo as dgeo
+from membrane_solver_tpu.device import linalg as dlinalg
 from membrane_solver_tpu.device.state import MeshState, ProblemSpec, Topology
 from membrane_solver_tpu.energy import get_module
 
@@ -117,23 +118,41 @@ def make_tilt_enforcer(spec: ProblemSpec) -> Callable:
     return enforce
 
 
+def make_tilt_projector(rows):
+    """Build a reusable KKT projector from fixed tilt-constraint rows.
+
+    The rows depend only on vertex positions, which are frozen for the whole
+    inner tilt solve — so the normal-equation matrix is factored ONCE and
+    every iteration pays only two triangular solves (the reference likewise
+    caches its sparse projection operators per relax call,
+    tilt_relaxation.py:562-585).  On CPU the factor/solve pair is LAPACK
+    getrf/getrs — bit-identical to the per-iteration np.linalg.solve it
+    replaces.
+    """
+    if rows is None:
+        return lambda gin, gout: (gin, gout)
+    k = rows.shape[0]
+    G = rows.reshape(k, -1)
+    A = G @ G.T + 1e-18 * jnp.eye(k, dtype=G.dtype)
+    solver = dlinalg.make_dense_solver(A)
+
+    def project(gin, gout):
+        g = jnp.concatenate([gin.reshape(-1), gout.reshape(-1)])
+        lam = solver(G @ g)
+        g = g - lam @ G
+        n = gin.size
+        return g[:n].reshape(gin.shape), g[n:].reshape(gout.shape)
+
+    return project
+
+
 def project_tilt_gradients_kkt(gin, gout, rows):
     """Project the stacked leaflet gradient against tilt-constraint rows.
 
     Parity: constraint_manager.apply_tilt_gradient_modifications_array
     (651-825): joint KKT over the concatenated (in, out) tilt DOFs.
     """
-    if rows is None:
-        return gin, gout
-    k = rows.shape[0]
-    g = jnp.concatenate([gin.reshape(-1), gout.reshape(-1)])
-    G = rows.reshape(k, -1)
-    b = G @ g
-    A = G @ G.T + 1e-18 * jnp.eye(k, dtype=g.dtype)
-    lam = jnp.linalg.solve(A, b)  # regularized solve, matching _solve_kkt_system
-    g = g - lam @ G
-    n = gin.size
-    return g[:n].reshape(gin.shape), g[n:].reshape(gout.shape)
+    return make_tilt_projector(rows)(gin, gout)
 
 
 def jacobi_preconditioner(positions, topo, params):
@@ -218,12 +237,14 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         fixed_vals_in = tin
         fixed_vals_out = tout
 
+        # constraint rows depend on positions only (frozen here): build them
+        # and factor the KKT normal equations once for the whole inner solve
+        rows = constraint_rows_fn(state, topo, params)
+        projector = make_tilt_projector(rows)
+
         def eval_grads(tin, tout, st):
             E, (gin, gout) = grad_fn(tin, tout, st, topo, params)
-            rows = constraint_rows_fn(
-                dataclasses.replace(st, tilts_in=tin, tilts_out=tout), topo, params
-            )
-            gin, gout = project_tilt_gradients_kkt(gin, gout, rows)
+            gin, gout = projector(gin, gout)
             gin = jnp.where(fixed_in[:, None], 0.0, gin)
             gout = jnp.where(fixed_out[:, None], 0.0, gout)
             gnorm = jnp.sqrt(jnp.sum(gin * gin) + jnp.sum(gout * gout))
