@@ -269,3 +269,40 @@ def make_dense_solver(A: jnp.ndarray):
         return lambda b: jsl.lu_solve((lu, piv), b)
     Ainv = gj_inverse(A)
     return lambda b: Ainv @ b
+
+
+def kabsch(P: jnp.ndarray, Q: jnp.ndarray):
+    """Least-squares rigid transform (R, t) mapping P -> Q (Kabsch).
+
+    TPU-f64 safe: right singular vectors of H = P0^T Q0 come from the
+    closed-form symmetric 3x3 eigendecomposition of H^T H; the improper-
+    rotation case flips the smallest-singular-value direction, matching the
+    reference's det correction (rigid_disk.py:84-100).
+    """
+    Pc = jnp.mean(P, axis=0)
+    Qc = jnp.mean(Q, axis=0)
+    P0 = P - Pc
+    Q0 = Q - Qc
+    H = P0.T @ Q0
+    evals, V = eigh_3x3(H.T @ H)  # ascending
+    sig = jnp.sqrt(jnp.maximum(evals, 1e-300))
+    U = (H @ V) / sig[None, :]
+    # re-orthonormalize U against near-zero singular values
+    u2 = U[:, 2] / jnp.maximum(jnp.linalg.norm(U[:, 2]), 1e-300)
+    u1 = U[:, 1] - jnp.dot(U[:, 1], u2) * u2
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-300)
+    u0 = jnp.cross(u1, u2)
+    U = jnp.stack([u0, u1, u2], axis=1)
+    v2 = V[:, 2]
+    v1 = V[:, 1] - jnp.dot(V[:, 1], v2) * v2
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-300)
+    v0 = jnp.cross(v1, v2)
+    V = jnp.stack([v0, v1, v2], axis=1)
+    R = V @ U.T
+    d = jnp.linalg.det(R)
+    # flip the smallest-sigma column of V when improper
+    Vf = V.at[:, 0].set(-V[:, 0])
+    Rf = Vf @ U.T
+    R = jnp.where(d < 0.0, Rf, R)
+    t = Qc - R @ Pc
+    return R, t

@@ -323,6 +323,12 @@ def compile_state(
             static_hook = getattr(module, "compile_static", None)
             if static_hook is not None:
                 extra_static.append((f"{kind}:{name}", static_hook(layout)))
+    # core hook: leaflet-absence masks are consulted by every leaflet energy
+    # module whenever the gp keys are set, independent of the module list
+    from membrane_solver_tpu.energy import leaflet_presence as _lp
+
+    for key, arr in _lp.compile_topology(layout).items():
+        extras[f"energy:leaflet_presence/{key}"] = jnp.asarray(arr)
     topo.extras = extras
     spec = dataclasses.replace(spec, extra_static=tuple(extra_static))
 

@@ -36,7 +36,7 @@ from membrane_solver_tpu.device.tilt_ops import p1_triangle_divergence
 USES_TILT_LEAFLETS = True
 
 
-def _fields(positions, topo, params, kappa_key, c0_key):
+def _fields(positions, topo, params, kappa_key, c0_key, tri_present=None):
     n_rows = positions.shape[0]
     geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
     vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
@@ -63,7 +63,8 @@ def _fields(positions, topo, params, kappa_key, c0_key):
     va_eff = jnp.where(
         redistribute[:, None], jnp.where(interior_c, va + extra[:, None], 0.0), va
     )
-    va_eff = jnp.where(topo.tri_valid[:, None], va_eff, 0.0)
+    keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
+    va_eff = jnp.where(keep[:, None], va_eff, 0.0)
     a_eff = dgeo.scatter_add_rows(
         va_eff[:, 0], va_eff[:, 1], va_eff[:, 2], topo.tri_rows, n_rows
     )
@@ -71,7 +72,8 @@ def _fields(positions, topo, params, kappa_key, c0_key):
 
 
 def leaflet_bending_tilt_energy(
-    state, topo, params, *, tilts, kappa_key: str, div_sign: float, c0_key: str
+    state, topo, params, *, tilts, kappa_key: str, div_sign: float, c0_key: str,
+    tri_present=None,
 ):
     positions = state.positions
     frozen_x = jax.lax.stop_gradient(positions)
@@ -79,13 +81,14 @@ def leaflet_bending_tilt_energy(
 
     # --- corner form at frozen positions: value + exact tilt gradient -----
     base_f, va_eff_f, a_eff_f, kappa, interior = _fields(
-        frozen_x, topo, params, kappa_key, c0_key
+        frozen_x, topo, params, kappa_key, c0_key, tri_present
     )
     div_tri, _, _ = p1_triangle_divergence(frozen_x, tilts, topo.tri_rows, topo.tri_valid)
     div_term = div_sign * div_tri
     term_c = base_f[topo.tri_rows] + div_term[:, None]
+    keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
     corner = 0.5 * jnp.sum(
-        jnp.where(topo.tri_valid, kappa * jnp.sum(term_c**2 * va_eff_f, axis=1), 0.0)
+        jnp.where(keep, kappa * jnp.sum(term_c**2 * va_eff_f, axis=1), 0.0)
     )
 
     # --- vertex-form surrogate: shape gradient with frozen divergence ------
@@ -100,7 +103,7 @@ def leaflet_bending_tilt_energy(
         jnp.where(a_eff_f > 1e-20, div_eff_num / jnp.maximum(a_eff_f, 1e-20), 0.0)
     )
     base_x, _va_x, a_eff_x, kappa_x, interior_x = _fields(
-        positions, topo, params, kappa_key, c0_key
+        positions, topo, params, kappa_key, c0_key, tri_present
     )
     term_v = jnp.where(interior_x, base_x + div_eff, 0.0)
     surrogate = 0.5 * jnp.sum(

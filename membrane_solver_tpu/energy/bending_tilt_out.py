@@ -6,6 +6,7 @@ Parity: reference ``modules/energy/bending_tilt_out.py``.
 from __future__ import annotations
 
 from membrane_solver_tpu.energy.bending_tilt_leaflet import leaflet_bending_tilt_energy
+from membrane_solver_tpu.energy.leaflet_presence import present_triangles
 
 USES_TILT_LEAFLETS = True
 
@@ -19,4 +20,5 @@ def energy(geo, state, topo, params):
         kappa_key="bending_modulus_out",
         div_sign=1.0,
         c0_key="spontaneous_curvature_out",
+        tri_present=present_triangles(topo, "out"),
     )

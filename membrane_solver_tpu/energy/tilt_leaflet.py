@@ -45,8 +45,12 @@ def make_leaflet_energy(spec, leaflet: str):
     mass_mode = spec.option(f"tilt_mass_mode_{leaflet}", spec.option("tilt_mass_mode", "lumped"))
 
     def fn(geo, state, topo, params):
+        from membrane_solver_tpu.energy.leaflet_presence import present_triangles
+
         k = params.get(f"tilt_modulus_{leaflet}", jnp.asarray(0.0))
         tilts = state.tilts_in if leaflet == "in" else state.tilts_out
-        return leaflet_energy(geo, tilts, topo, k, mass_mode)
+        return leaflet_energy(
+            geo, tilts, topo, k, mass_mode, present_triangles(topo, leaflet)
+        )
 
     return fn

@@ -43,7 +43,7 @@ def _transport_to_triangle(positions, tilts, topo):
     return out
 
 
-def smoothness_energy(positions, tilts, topo, k_smooth, transport: str):
+def smoothness_energy(positions, tilts, topo, k_smooth, transport: str, tri_present=None):
     frozen = jax.lax.stop_gradient(positions)  # no shape gradient (see docstring)
     n_rows = frozen.shape[0]
     curv = dgeo.curvature_data(frozen, topo.tri_rows, topo.tri_valid, n_rows)
@@ -62,7 +62,8 @@ def smoothness_energy(positions, tilts, topo, k_smooth, transport: str):
         + c1 * jnp.sum(d20 * d20, axis=1)
         + c2 * jnp.sum(d01 * d01, axis=1)
     )
-    return (k_smooth / 4.0) * jnp.sum(jnp.where(topo.tri_valid, per_tri, 0.0))
+    keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
+    return (k_smooth / 4.0) * jnp.sum(jnp.where(keep, per_tri, 0.0))
 
 
 def make_energy(spec):

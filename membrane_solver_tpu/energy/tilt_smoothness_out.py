@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from membrane_solver_tpu.energy.leaflet_presence import present_triangles
 from membrane_solver_tpu.energy.tilt_smoothness import smoothness_energy
 
 USES_TILT_LEAFLETS = True
@@ -18,11 +19,11 @@ def make_energy(spec):
 
     def fn(geo, state, topo, params):
         k = params.get("bending_modulus_out", params.get("bending_modulus", jnp.asarray(0.0)))
-        return smoothness_energy(state.positions, state.tilts_out, topo, k, transport)
+        return smoothness_energy(state.positions, state.tilts_out, topo, k, transport, present_triangles(topo, "out"))
 
     return fn
 
 
 def energy(geo, state, topo, params):
     k = params.get("bending_modulus_out", params.get("bending_modulus", jnp.asarray(0.0)))
-    return smoothness_energy(state.positions, state.tilts_out, topo, k, "ambient_v1")
+    return smoothness_energy(state.positions, state.tilts_out, topo, k, "ambient_v1", present_triangles(topo, "out"))

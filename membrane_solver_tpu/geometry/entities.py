@@ -108,3 +108,44 @@ class Body:
 
     def copy(self) -> "Body":
         return Body(self.index, list(self.facet_indices), self.target_volume, dict(self.options))
+
+    def compute_volume(self, mesh) -> float:
+        """Divergence-theorem volume sum(v0 . (v1 x v2))/6 over the shell.
+
+        Parity: reference geometry/body.py (vectorized volume); host-side
+        numpy for commands/diagnostics — the hot path uses
+        device.geo.body_volumes.
+        """
+        import numpy as np
+
+        total = 0.0
+        for fid in self.facet_indices:
+            loop = mesh.facet_vertex_loop(mesh.facets[abs(int(fid))])
+            if len(loop) != 3:
+                continue
+            v0, v1, v2 = (np.asarray(mesh.vertices[v].position, float) for v in loop)
+            vol = float(np.dot(v0, np.cross(v1, v2)) / 6.0)
+            total += -vol if int(fid) < 0 else vol
+        return total
+
+    def compute_volume_and_gradient(self, mesh):
+        """(volume, {vertex_id: dV/dx}) — analytic divergence-theorem gradient."""
+        import numpy as np
+
+        grad: Dict[int, Any] = {}
+        total = 0.0
+        for fid in self.facet_indices:
+            sign = -1.0 if int(fid) < 0 else 1.0
+            loop = mesh.facet_vertex_loop(mesh.facets[abs(int(fid))])
+            if len(loop) != 3:
+                continue
+            p = [np.asarray(mesh.vertices[v].position, float) for v in loop]
+            total += sign * float(np.dot(p[0], np.cross(p[1], p[2])) / 6.0)
+            contribs = (
+                np.cross(p[1], p[2]),
+                np.cross(p[2], p[0]),
+                np.cross(p[0], p[1]),
+            )
+            for v, c in zip(loop, contribs):
+                grad[v] = grad.get(v, 0.0) + sign * c / 6.0
+        return total, grad

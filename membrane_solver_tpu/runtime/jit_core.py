@@ -484,6 +484,14 @@ def _minimize_block_impl(
         and tilt_inner_iters is not None
     )
     relax_fn = _tr.make_relax_leaflet_tilts(spec) if do_tilt_relax else None
+    # single-field path (reference minimizer.py:1294 else-branch)
+    do_vertex_tilt_relax = (
+        not _tr.spec_uses_leaflet_tilts(spec)
+        and _tr.spec_uses_vertex_tilts(spec)
+        and tilt_mode in {"nested", "coupled"}
+        and tilt_inner_iters is not None
+    )
+    vertex_relax_fn = _tr.make_relax_vertex_tilts(spec) if do_vertex_tilt_relax else None
     project_tilts_after_step = do_tilt_relax or _tr.spec_uses_vertex_tilts(spec)
     tilt_enforcer = _tr.make_tilt_enforcer(spec)
 
@@ -558,6 +566,12 @@ def _minimize_block_impl(
 
         if do_tilt_relax:
             state = relax_with_guard(state)
+        elif do_vertex_tilt_relax:
+            t_step = params.get("tilt_step_size", jnp.asarray(0.0, dtype))
+            t_tol = params.get("tilt_tol", jnp.asarray(0.0, dtype))
+            state, _nacc = vertex_relax_fn(
+                state, topo, params, tilt_inner_iters, t_step, t_tol
+            )
 
         E, grad = value_and_grad_projected(state)
         gnorm = jnp.linalg.norm(grad)

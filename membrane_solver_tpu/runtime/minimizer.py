@@ -210,6 +210,17 @@ class Minimizer:
     def minimize(
         self, n_steps: int = 1, callback: Optional[Callable[[Mesh, int], None]] = None
     ) -> dict:
+        from membrane_solver_tpu.runtime.validation import (
+            validate_disk_interface_topology,
+            validate_leaflet_absence_topology,
+        )
+
+        validate_leaflet_absence_topology(self.mesh, self.global_params)
+        validate_disk_interface_topology(self.mesh, self.global_params)
+        from membrane_solver_tpu.runtime.diagnostics.audit import check_gauss_bonnet
+
+        self._sync_host()
+        check_gauss_bonnet(self)
         p = self.problem()
         p.params = build_params(self.mesh)
 
@@ -277,6 +288,21 @@ class Minimizer:
                 chunk = 1  # per-step reporting parity
 
             tilt_mode = str(self.global_params.get("tilt_solve_mode", "fixed") or "fixed")
+            # theta_B scalar coordinate descent at its cadence boundaries
+            # (reference minimizer.py:1298, runtime/tilt_optimization.py)
+            if bool(self.global_params.get("tilt_thetaB_optimize", False)):
+                from membrane_solver_tpu.runtime import tilt_optimization as _topt
+
+                _topt.optimize_thetaB_scalar(
+                    self, tilt_mode=tilt_mode, iteration=iterations_done
+                )
+                p = self.problem()
+                p.params = build_params(self.mesh)
+                every = max(
+                    int(self.global_params.get("tilt_thetaB_optimize_every", 10) or 10),
+                    1,
+                )
+                chunk = min(chunk, every - (iterations_done % every))
             if tilt_mode == "nested":
                 inner = int(self.global_params.get("tilt_inner_steps", 0) or 0)
             else:

@@ -421,3 +421,147 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         return out_state, stats
 
     return relax
+
+
+def make_relax_vertex_tilts(spec: ProblemSpec) -> Callable:
+    """Single-field tilt relaxation (the reference's _relax_tilts path).
+
+    Parity: runtime/steppers/tilt_relaxation.py:237-424 — GD or Jacobi-
+    preconditioned CG on the mesh's single ``tilts`` field with positions
+    frozen: tangent projection per trial, fixed-row clamping, 12-halving
+    accept-if-not-worse backtracking, convergence on the projected gradient
+    norm.  None of the single-field constraint modules contribute tilt
+    constraint rows in the reference's registry, so no KKT projection runs
+    here (the leaflet path handles the rim-matching lanes).
+    """
+    tilt_energy = make_tilt_energy(spec)
+    solver = spec.option("tilt_solver", "cg").lower()
+    use_precond = (
+        solver == "cg"
+        and spec.option("tilt_cg_preconditioner", "jacobi").lower()
+        not in {"none", "off", "false"}
+    )
+
+    def energy_of(tilts, state, topo, params):
+        return tilt_energy(dataclasses.replace(state, tilts=tilts), topo, params)
+
+    grad_fn = jax.value_and_grad(energy_of)
+
+    def relax(state: MeshState, topo: Topology, params: Dict, max_iters, step_size, tol):
+        dtype = state.positions.dtype
+        positions = state.positions
+        n_rows = positions.shape[0]
+        geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+        normals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+        fixed = topo.tilt_fixed_mask
+
+        def tangent(t):
+            return t - jnp.sum(t * normals, axis=1, keepdims=True) * normals
+
+        tilts = tangent(state.tilts)
+        fixed_vals = tilts
+
+        if use_precond:
+            m_in, _m_out = jacobi_preconditioner(positions, topo, params)
+        else:
+            m_in = jnp.ones(n_rows, dtype)
+
+        def eval_grads(t):
+            E, g = grad_fn(t, state, topo, params)
+            g = jnp.where(fixed[:, None], 0.0, g)
+            return E, g, jnp.linalg.norm(g)
+
+        def build_trial(base, delta):
+            trial = tangent(base + delta)
+            return jnp.where(fixed[:, None], fixed_vals, trial)
+
+        def backtrack(t, direction, E0):
+            def body(carry):
+                step, bt, done, acc, acc_E, accepted = carry
+                trial = build_trial(t, step * direction)
+                E1 = energy_of(trial, state, topo, params)
+                accept = E1 <= E0
+                new_step = jnp.where(accept, step, step * 0.5)
+                new_done = accept | (new_step < STEP_FLOOR) | (bt + 1 >= MAX_BACKTRACKS)
+                return (
+                    new_step,
+                    bt + 1,
+                    new_done,
+                    jnp.where(accept, trial, acc),
+                    jnp.where(accept, E1, acc_E),
+                    accepted | accept,
+                )
+
+            def cond(carry):
+                _s, _b, done, *_ = carry
+                return ~done
+
+            init = (step_size, jnp.asarray(0, jnp.int32), jnp.asarray(False), t, E0, jnp.asarray(False))
+            _s, _b, _d, acc, acc_E, accepted = jax.lax.while_loop(cond, body, init)
+            return accepted, acc, acc_E
+
+        if solver == "gd":
+            def body(carry):
+                t, i, done, nacc = carry
+                E0, g, gnorm = eval_grads(t)
+                conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
+                accepted, new_t, _E1 = backtrack(t, -g, E0)
+                take = accepted & ~conv
+                return (
+                    jnp.where(take, new_t, t),
+                    i + 1,
+                    done | conv | ~accepted,
+                    nacc + take.astype(jnp.int32),
+                )
+
+            def cond(carry):
+                _t, i, done, _n = carry
+                return (~done) & (i < max_iters)
+
+            t, _i, _d, nacc = jax.lax.while_loop(
+                cond, body, (tilts, jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            )
+        else:
+            E0, g, gnorm = eval_grads(tilts)
+            r = -g
+            z = r * m_in[:, None]
+            d = z
+            rz_old = jnp.sum(r * z)
+
+            def body(carry):
+                t, d, rz_old, E0, gnorm, i, done, nacc = carry
+                conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
+                accepted, new_t, _E1 = backtrack(t, d, E0)
+                take = accepted & ~conv
+                new_t = jnp.where(take, new_t, t)
+                E2, g, gnorm2 = eval_grads(new_t)
+                r = -g
+                z = r * m_in[:, None]
+                rz_new = jnp.sum(r * z)
+                beta = jnp.where(rz_old != 0.0, rz_new / rz_old, 0.0)
+                nd = z + beta * d
+                stop = conv | ~accepted | (rz_old == 0.0)
+                return (
+                    new_t,
+                    jnp.where(stop, d, nd),
+                    jnp.where(stop, rz_old, rz_new),
+                    jnp.where(take, E2, E0),
+                    jnp.where(take, gnorm2, gnorm),
+                    i + 1,
+                    done | stop,
+                    nacc + take.astype(jnp.int32),
+                )
+
+            def cond(carry):
+                (*_r, i, done, _n) = carry
+                return (~done) & (i < max_iters)
+
+            t, _d, _rz, _E, _gn, _i, _done, nacc = jax.lax.while_loop(
+                cond,
+                body,
+                (tilts, d, rz_old, E0, gnorm, jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+            )
+
+        return dataclasses.replace(state, tilts=t), nacc
+
+    return relax
