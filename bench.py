@@ -34,9 +34,25 @@ from pathlib import Path
 
 REPO = Path(__file__).parent
 
+def _kozlov_input() -> str:
+    """Reference fixture when mounted (exact parity lane); else a
+    standalone meshgen-generated equivalent."""
+    ref = "/root/reference/benchmarks/inputs/bench_kozlov_1disk_profile_hard_rim_R12.yaml"
+    if os.path.exists(ref):
+        return ref
+    gen = "/tmp/membrane_bench_kozlov.json"
+    if not os.path.exists(gen):
+        sys.path.insert(0, str(REPO))
+        from membrane_solver_tpu.meshgen import build
+
+        with open(gen, "w") as fh:
+            json.dump(build("kozlov_1disk"), fh)
+    return gen
+
+
 LANES = {
     "kozlov": {
-        "path": "/root/reference/benchmarks/inputs/bench_kozlov_1disk_profile_hard_rim_R12.yaml",
+        "path": _kozlov_input(),
         "gp": {
             "tilt_solve_mode": "coupled",
             "tilt_step_size": 0.15,

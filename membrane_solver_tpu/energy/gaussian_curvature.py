@@ -48,9 +48,10 @@ def gauss_bonnet_total(positions, topo):
 
 def energy(geo, state, topo, params):
     kappa_bar = params.get("gaussian_modulus", jnp.asarray(0.0))
-    has_boundary = bool(np.asarray(topo.extras["energy:gaussian_curvature/has_boundary"]))
-    if not has_boundary:
-        chi = topo.extras["energy:gaussian_curvature/chi"].astype(state.positions.dtype)
-        return 2.0 * jnp.pi * kappa_bar * chi
+    # trace-safe branch: has_boundary lives in topo.extras (a traced array
+    # under jit), so select between the two locally-constant forms
+    has_boundary = topo.extras["energy:gaussian_curvature/has_boundary"]
+    chi = topo.extras["energy:gaussian_curvature/chi"].astype(state.positions.dtype)
+    closed = 2.0 * jnp.pi * kappa_bar * chi
     g_total = jax.lax.stop_gradient(gauss_bonnet_total(state.positions, topo))
-    return kappa_bar * g_total
+    return jnp.where(has_boundary, kappa_bar * g_total, closed)

@@ -1,0 +1,4 @@
+from membrane_solver_tpu.visualization.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

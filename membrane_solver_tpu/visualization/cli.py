@@ -1,0 +1,81 @@
+"""Visualization CLI (reference ``visualization/cli.py:20-223``).
+
+    python -m membrane_solver_tpu.visualization mesh.json --tilt --save out.png
+    python -m membrane_solver_tpu.visualization gen:kozlov_1disk --divergence
+
+Renders a mesh file (or a meshgen builder via ``gen:<name>``) with the
+same options surface as the reference CLI: facet coloring by tilt
+magnitude or P1 divergence, tilt arrows, edge/vertex/index overlays,
+PNG export, optional pre-render instruction run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="membrane_solver_tpu.visualization")
+    ap.add_argument("input", help="mesh path or gen:<builder>")
+    ap.add_argument("--tilt", action="store_true", help="color facets by |tilt|")
+    ap.add_argument("--divergence", action="store_true",
+                    help="color facets by P1 tilt divergence")
+    ap.add_argument("--tilt-arrows", action="store_true")
+    ap.add_argument("--no-edges", action="store_true")
+    ap.add_argument("--vertices", action="store_true")
+    ap.add_argument("--indices", action="store_true")
+    ap.add_argument("--alpha", type=float, default=0.6)
+    ap.add_argument("--title", default=None)
+    ap.add_argument("--save", default=None, metavar="PNG")
+    ap.add_argument("--run", default=None, metavar="MACRO",
+                    help="instruction line to execute before rendering")
+    ap.add_argument("--platform", default=None)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from membrane_solver_tpu import load_data, parse_geometry
+    from membrane_solver_tpu.meshgen import build
+    from membrane_solver_tpu.visualization.plot_core import plot_geometry
+
+    data = build(args.input[4:]) if args.input.startswith("gen:") else load_data(args.input)
+    mesh = parse_geometry(data)
+
+    if args.run:
+        from membrane_solver_tpu.commands.context import CommandContext
+        from membrane_solver_tpu.commands.executor import execute_command_line
+        from membrane_solver_tpu.runtime.minimizer import Minimizer
+
+        ctx = CommandContext(mesh=mesh, minimizer=Minimizer(mesh, quiet=True))
+        execute_command_line(ctx, args.run)
+        ctx.sync_mesh()
+        mesh = ctx.mesh
+
+    color_by = "divergence" if args.divergence else ("tilt" if args.tilt else None)
+    plot_geometry(
+        mesh,
+        color_by=color_by,
+        show_tilt_arrows=args.tilt_arrows,
+        show_edges=not args.no_edges,
+        show_vertices=args.vertices,
+        show_indices=args.indices,
+        alpha=args.alpha,
+        title=args.title or args.input,
+        show=args.save is None,
+        save_path=args.save,
+    )
+    if args.save:
+        print(f"saved {args.save}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
