@@ -424,3 +424,52 @@ def constraint_gradient_rows(state, topo, params):
     if not blocks:
         return None
     return jnp.concatenate(blocks, axis=0)
+
+
+def local_constraint_normals(state, topo, params):
+    """(Nv, 2, 3) per-vertex normals (plane + radial) — pin rows touch only
+    their own vertex, so the projection is local (jit_core.make_gradient_projector)."""
+    dtype = state.positions.dtype
+    nv = state.positions.shape[0]
+    out = jnp.zeros((nv, 2, 3), dtype=dtype)
+    got_any = False
+
+    def normals_for(rows, valid, normal, center):
+        pts = state.positions[rows]
+        pos_plane = pts - jnp.sum((pts - center) * normal, axis=1, keepdims=True) * normal
+        radial = pos_plane - center
+        rnorm = jnp.linalg.norm(radial, axis=1)
+        radial_hat = jnp.where(
+            rnorm[:, None] > 1e-15,
+            radial / jnp.maximum(rnorm, 1e-15)[:, None],
+            _default_tangent(normal),
+        )
+        n_pair = jnp.stack(
+            [jnp.broadcast_to(normal, radial_hat.shape), radial_hat], axis=1
+        )  # (k, 2, 3)
+        return jnp.where(valid[:, None, None], n_pair, 0.0)
+
+    if _any_compile_time(topo, "f_valid"):
+        got_any = True
+        rows = _x(topo, "f_rows")
+        valid = _x(topo, "f_valid") & ~_x(topo, "f_vfixed")
+        pair = normals_for(
+            rows,
+            valid,
+            jnp.asarray(_x(topo, "f_normal"), dtype),
+            jnp.asarray(_x(topo, "f_center"), dtype),
+        )
+        safe = jnp.where(valid, rows, nv)
+        out = out.at[safe].add(pair, mode="drop")
+
+    if _any_compile_time(topo, "m_valid"):
+        got_any = True
+        g_normal, g_center, _ = _group_circles(state.positions, topo)
+        group = _x(topo, "m_group")
+        rows = _x(topo, "m_rows")
+        valid = _x(topo, "m_valid") & ~_x(topo, "m_vfixed")
+        pair = normals_for(rows, valid, g_normal[group], g_center[group])
+        safe = jnp.where(valid, rows, nv)
+        out = out.at[safe].add(pair, mode="drop")
+
+    return out if got_any else None

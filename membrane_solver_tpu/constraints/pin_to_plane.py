@@ -237,3 +237,26 @@ def constraint_gradient_rows(state, topo, params):
         jnp.where(valid[:, None], normals, 0.0)
     )
     return out
+
+
+def local_constraint_normals(state, topo, params):
+    """(Nv, 1, 3) per-vertex constraint normals — each pin row touches only
+    its own vertex, so the KKT projection is a local 3x3 projector instead
+    of a dense row (see jit_core.make_gradient_projector).  Same normals as
+    constraint_gradient_rows."""
+    rows = _x(topo, "rows")
+    if rows.shape[0] == 0:
+        return None
+    valid = _x(topo, "valid") & ~_x(topo, "vertex_fixed")
+    mode = _x(topo, "mode")
+    g_normals, _ = _group_planes(state.positions, topo)
+    group = _x(topo, "group")
+    normals = jnp.where(
+        (mode == MODE_FIXED)[:, None], _x(topo, "normal"), g_normals[group]
+    )
+    nv = state.positions.shape[0]
+    out = jnp.zeros((nv, 1, 3), dtype=state.positions.dtype)
+    safe = jnp.where(valid, rows, nv)
+    return out.at[safe, 0].add(
+        jnp.where(valid[:, None], normals, 0.0), mode="drop"
+    )

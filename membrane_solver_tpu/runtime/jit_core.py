@@ -149,6 +149,90 @@ def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
     return (flatg - lam @ G).reshape(grad.shape)
 
 
+def orthonormalize_local_normals(normals: jnp.ndarray) -> jnp.ndarray:
+    """Per-vertex modified Gram-Schmidt over the m stacked constraint normals.
+
+    normals: (Nv, m, 3), zero rows allowed.  Returns (Nv, m, 3) orthonormal
+    (or zero) directions spanning the same per-vertex constraint space.
+    Near-parallel duplicates collapse to zero (the regularized dense solve
+    weights them sigma^2/(sigma^2+1e-18) — both project onto the same span).
+    """
+    m = normals.shape[1]
+    outs = []
+    for j in range(m):
+        v = normals[:, j]
+        for q in outs:
+            v = v - jnp.sum(v * q, axis=1, keepdims=True) * q
+        nrm = jnp.linalg.norm(v, axis=1, keepdims=True)
+        outs.append(jnp.where(nrm > 1e-12, v / jnp.maximum(nrm, 1e-12), 0.0))
+    return jnp.stack(outs, axis=1)
+
+
+def apply_local_projection(vec: jnp.ndarray, n_hat: jnp.ndarray) -> jnp.ndarray:
+    """Project (Nv, 3) rows onto the orthogonal complement of each vertex's
+    orthonormalized constraint normals (Nv, m, 3)."""
+    coeff = jnp.einsum("vc,vmc->vm", vec, n_hat)
+    return vec - jnp.einsum("vm,vmc->vc", coeff, n_hat)
+
+
+def make_gradient_projector(spec: ProblemSpec) -> Callable | None:
+    """Two-stage exact KKT projection: local per-vertex rows analytically,
+    global rows via the small dense solve.
+
+    Mathematically identical to stacking every row densely (projection onto
+    an intersection of null spaces = project onto the local null space, then
+    KKT-solve the globally-coupled rows premultiplied by the local
+    projector), but the cost drops from O(k^2 Nv) with k ~ #pinned vertices
+    to O(Nv) + O(k_g^2 Nv) with k_g = #global rows only.  The reference pays
+    the dense price in NumPy (runtime/constraint_projection.py); at refined
+    kozlov sizes (k ~ 1300) that dominated our whole step.
+    """
+    from membrane_solver_tpu.constraints import get_constraint
+
+    local_builders = []
+    dense_builders = []
+    for name in dict.fromkeys(spec.constraint_modules):
+        mod = get_constraint(name)
+        local_maker = getattr(mod, "make_local_constraint_normals", None)
+        local = (
+            local_maker(spec)
+            if local_maker is not None
+            else getattr(mod, "local_constraint_normals", None)
+        )
+        if local is not None:
+            local_builders.append(local)
+            continue  # local form supersedes this module's dense rows
+        maker = getattr(mod, "make_constraint_gradient_rows", None)
+        fn = maker(spec) if maker is not None else getattr(mod, "constraint_gradient_rows", None)
+        if fn is not None:
+            dense_builders.append(fn)
+    if not local_builders and not dense_builders:
+        return None
+
+    def project(grad, state, topo, params):
+        n_hat = None
+        if local_builders:
+            blocks = [
+                b
+                for b in (fn(state, topo, params) for fn in local_builders)
+                if b is not None
+            ]
+            if blocks:
+                n_hat = orthonormalize_local_normals(jnp.concatenate(blocks, axis=1))
+                grad = apply_local_projection(grad, n_hat)
+        dense = [
+            r for r in (fn(state, topo, params) for fn in dense_builders) if r is not None
+        ]
+        if dense:
+            rows = jnp.concatenate(dense, axis=0)
+            if n_hat is not None:
+                rows = jax.vmap(lambda r: apply_local_projection(r, n_hat))(rows)
+            grad = project_gradient_kkt(grad, rows)
+        return grad
+
+    return project
+
+
 # ----------------------------------------------------------------------
 # geometric constraint enforcement (hard projections between/inside steps)
 # ----------------------------------------------------------------------
@@ -470,7 +554,7 @@ def _minimize_block_impl(
 ):
     total = make_total_energy(spec)
     energy_of_positions = make_energy_of_positions(spec)
-    constraint_grads_fn = make_constraint_gradients(spec)
+    gradient_projector = make_gradient_projector(spec)
     enforcer = make_constraint_enforcer(spec) if options.enforce_in_line_search else None
     dtype = state.positions.dtype
 
@@ -509,20 +593,32 @@ def _minimize_block_impl(
         def guarded(state):
             pre_E = total(state, topo, params)
             threshold = jnp.maximum(guard_min, jnp.abs(pre_E) * guard_factor)
+
             # 1 + tilt_relax_energy_guard_retries (default 4) attempts with a
             # halved tilt step on each spike; roll back fully if all spike.
-            accepted = jnp.asarray(False)
-            trial_step = t_step
-            result = state
-            for _ in range(5):
+            # A while_loop keeps ONE relax instance in the program (an
+            # unrolled retry chain quintuples the largest subprogram and
+            # dominated XLA compile time at refined mesh sizes) and exits on
+            # the first accepted trial — identical result.
+            def retry_cond(carry):
+                attempt, accepted, _step, _result = carry
+                return (~accepted) & (attempt < 5)
+
+            def retry_body(carry):
+                attempt, accepted, trial_step, result = carry
                 new_st, _ = relax_fn(state, topo, params, tilt_inner_iters, trial_step, t_tol)
                 post_E = total(new_st, topo, params)
-                ok = (post_E <= threshold) & ~accepted
+                ok = post_E <= threshold
                 result = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(ok, a, b), new_st, result
                 )
-                accepted = accepted | ok
-                trial_step = trial_step * 0.5
+                return attempt + 1, ok, trial_step * 0.5, result
+
+            _n, accepted, _s, result = jax.lax.while_loop(
+                retry_cond,
+                retry_body,
+                (jnp.asarray(0, jnp.int32), jnp.asarray(False), t_step, state),
+            )
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accepted, a, b), result, state
             )
@@ -536,9 +632,8 @@ def _minimize_block_impl(
         E = jnp.asarray(E, dtype)
         # KKT projection sees the un-zeroed gradient and full constraint
         # gradients; fixed rows are zeroed afterwards (minimizer.py:984-989).
-        cg = constraint_grads_fn(state, topo, params)
-        if cg is not None:
-            g = project_gradient_kkt(g, cg)
+        if gradient_projector is not None:
+            g = gradient_projector(g, state, topo, params)
         g = jnp.where(topo.fixed_mask[:, None], 0.0, g)
         return E, g
 
@@ -775,15 +870,14 @@ def make_energy_and_grad(spec: ProblemSpec) -> Callable:
     key = (spec, "__energy_grad__")
     if key not in _BLOCK_CACHE:
         energy_of_positions = make_energy_of_positions(spec)
-        constraint_grads_fn = make_constraint_gradients(spec)
+        gradient_projector = make_gradient_projector(spec)
 
         def impl(state, topo, params):
             E, g = jax.value_and_grad(
                 lambda p: energy_of_positions(p, state, topo, params)
             )(state.positions)
-            cg = constraint_grads_fn(state, topo, params)
-            if cg is not None:
-                g = project_gradient_kkt(g, cg)
+            if gradient_projector is not None:
+                g = gradient_projector(g, state, topo, params)
             g = jnp.where(topo.fixed_mask[:, None], 0.0, g)
             return E, g
 
