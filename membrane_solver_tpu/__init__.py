@@ -39,6 +39,25 @@ import jax
 if os.environ.get("MEMBRANE_SOLVER_X64", "1") not in {"0", "false", "no"}:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the minimize block recompiles per padded
+# capacity (a refinement ladder hits 3-4 capacities); caching the executables
+# on disk makes every later process start warm.  Disable with
+# MEMBRANE_SOLVER_COMPILE_CACHE=0 or point it elsewhere with =<dir>.
+_cache = os.environ.get("MEMBRANE_SOLVER_COMPILE_CACHE", "1")
+if _cache not in {"0", "false", "no"}:
+    _cache_dir = (
+        _cache
+        if _cache not in {"1", "true", "yes"}
+        else os.path.join(os.path.expanduser("~"), ".cache", "membrane_solver_tpu", "xla")
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is best-effort; never block solving
+        pass
+
 __version__ = "0.1.0"
 
 from membrane_solver_tpu.core.parameters import GlobalParameters, ParameterResolver  # noqa: E402

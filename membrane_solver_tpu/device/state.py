@@ -329,6 +329,15 @@ def compile_state(
 
     for key, arr in _lp.compile_topology(layout).items():
         extras[f"energy:leaflet_presence/{key}"] = jnp.asarray(arr)
+    # core hook: scaffold trace-layer rows for the rejected-shape-step
+    # trace-z fallback (reference minimizer.py:59-66, 298-428)
+    if str(mesh.global_parameters.get("shape_scaffold_rejected_step_fallback", "") or "").lower() == "trace_z":
+        trace = np.zeros(nv_cap, dtype=bool)
+        for row, vid in enumerate(vertex_ids):
+            opts = mesh.vertices[int(vid)].options or {}
+            if str(opts.get("pin_to_circle_group") or "") == "trace_layer":
+                trace[row] = True
+        extras["core:scaffold_trace/mask"] = jnp.asarray(trace)
     topo.extras = extras
     spec = dataclasses.replace(spec, extra_static=tuple(extra_static))
 
@@ -364,6 +373,8 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "tilt_thetaB_contact_penalty_mode",
     "tilt_thetaB_contact_work_mode",
     "bending_tilt_energy_model",
+    "tilt_cg_rejection_fallback",
+    "shape_scaffold_rejected_step_fallback",
 )
 
 
@@ -373,6 +384,13 @@ def collect_static_options(gp) -> Tuple[Tuple[str, str], ...]:
         val = gp.get(key)
         if val is not None:
             out.append((key, str(val)))
+    # derived static switch: whether the tilt-relax energy guard is active.
+    # The guard's threshold stays a traced scalar; only on/off is static so
+    # the minimize block skips tracing the 2x-relax guarded branch entirely
+    # when the guard is off (tracing that branch dominated warm-start time).
+    guard = gp.get("tilt_relax_energy_guard_factor")
+    if guard is not None and float(guard) > 0.0:
+        out.append(("tilt_guard", "on"))
     return tuple(out)
 
 

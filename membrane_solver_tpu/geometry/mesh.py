@@ -192,13 +192,23 @@ class Mesh:
     # ------------------------------------------------------------------
     def facet_normal(self, facet: Facet, normalized: bool = True) -> np.ndarray:
         loop = self.facet_vertex_loop(facet)
-        pts = np.array([self.vertices[v].position for v in loop])
-        n = np.zeros(3)
-        for i in range(1, len(pts) - 1):
-            n += np.cross(pts[i] - pts[0], pts[i + 1] - pts[0])
-        n *= 0.5
+        verts = self.vertices
+        p0 = verts[loop[0]].position
+        nx = ny = nz = 0.0
+        # hand-rolled fan cross products: np.cross on single 3-vectors pays
+        # ~20x ufunc/moveaxis overhead and dominated refine/vertex-average
+        prev = verts[loop[1]].position
+        ax, ay, az = prev[0] - p0[0], prev[1] - p0[1], prev[2] - p0[2]
+        for i in range(2, len(loop)):
+            cur = verts[loop[i]].position
+            bx, by, bz = cur[0] - p0[0], cur[1] - p0[1], cur[2] - p0[2]
+            nx += ay * bz - az * by
+            ny += az * bx - ax * bz
+            nz += ax * by - ay * bx
+            ax, ay, az = bx, by, bz
+        n = np.array((0.5 * nx, 0.5 * ny, 0.5 * nz))
         if normalized:
-            nn = np.linalg.norm(n)
+            nn = float(np.sqrt(nx * nx + ny * ny + nz * nz)) * 0.5
             if nn < 1e-15:
                 raise ValueError(f"degenerate facet {facet.index}")
             n = n / nn

@@ -71,7 +71,11 @@ def make_total_energy(spec: ProblemSpec) -> Callable:
             e = e + fn(geo, state, topo, params)
         return e
 
-    return total_energy
+    # jit so the (large) energy graph is traced once per abstract signature
+    # and re-used at every call site inside the minimize block — the block
+    # invokes it ~10x (value+grad, line-search trials, tilt guard) and
+    # re-tracing it each time dominated warm-start latency.
+    return jax.jit(total_energy)
 
 
 def make_energy_of_positions(spec: ProblemSpec) -> Callable:
@@ -82,6 +86,21 @@ def make_energy_of_positions(spec: ProblemSpec) -> Callable:
         return total(dataclasses.replace(state, positions=positions), topo, params)
 
     return energy_fn
+
+
+def make_energy_vg(spec: ProblemSpec) -> Callable:
+    """Cached jitted value_and_grad of the positions energy.
+
+    vg(positions, state, topo, params) -> (E, dE/dpositions); explicit args
+    (no closures) so the traced jaxpr is shared across every call site in
+    the minimize block.
+    """
+    key = (spec, "__energy_vg__")
+    if key not in _BLOCK_CACHE:
+        _BLOCK_CACHE[key] = jax.jit(
+            jax.value_and_grad(make_energy_of_positions(spec))
+        )
+    return _BLOCK_CACHE[key]
 
 
 # ----------------------------------------------------------------------
@@ -623,12 +642,14 @@ def _minimize_block_impl(
                 lambda a, b: jnp.where(accepted, a, b), result, state
             )
 
+        if spec.option("tilt_guard", "off") != "on":
+            return plain(state)  # static: skip tracing the guarded branch
         return jax.lax.cond(guard_factor > 0.0, guarded, plain, state)
 
+    energy_vg = make_energy_vg(spec)
+
     def value_and_grad_projected(state):
-        E, g = jax.value_and_grad(
-            lambda p: energy_of_positions(p, state, topo, params)
-        )(state.positions)
+        E, g = energy_vg(state.positions, state, topo, params)
         E = jnp.asarray(E, dtype)
         # KKT projection sees the un-zeroed gradient and full constraint
         # gradients; fixed rows are zeroed afterwards (minimizer.py:984-989).
@@ -719,6 +740,41 @@ def _minimize_block_impl(
                 topo,
                 state_of_trial,
             )
+            # rejected-shape-step scaffold fallback (reference
+            # minimizer.py:298-428): on rejection, retry the line search
+            # along a direction that only moves the trace_layer rows in -z
+            # of their gradient; attempted only if the mean trace-z descent
+            # component is positive.  Statically gated on the gp switch.
+            if (
+                spec.option("shape_scaffold_rejected_step_fallback", "off").lower()
+                == "trace_z"
+                and "core:scaffold_trace/mask" in topo.extras
+            ):
+                trace_mask = topo.extras["core:scaffold_trace/mask"]
+                fb_dir = jnp.zeros_like(grad).at[:, 2].set(
+                    jnp.where(trace_mask, -grad[:, 2], 0.0)
+                )
+                n_trace = jnp.maximum(jnp.sum(trace_mask.astype(dtype)), 1.0)
+                dz_mean = jnp.sum(fb_dir[:, 2]) / n_trace
+                viable = (~ls.success) & jnp.isfinite(dz_mean) & (dz_mean > 0.0)
+
+                def fb_search(_):
+                    return armijo_line_search(
+                        lambda st: total(st, topo, params),
+                        state,
+                        grad,
+                        fb_dir,
+                        step_in,
+                        E,
+                        movable,
+                        topo,
+                        state_of_trial,
+                    )
+
+                def keep_ls(_):
+                    return ls
+
+                ls = jax.lax.cond(viable, fb_search, keep_ls, None)
             new_state = ls.state
             if options.volume_drift_check:
                 strong_enforce = make_constraint_enforcer(spec)
@@ -869,13 +925,11 @@ def make_energy_and_grad(spec: ProblemSpec) -> Callable:
     """Jitted (E, projected grad) evaluation matching the in-loop assembly."""
     key = (spec, "__energy_grad__")
     if key not in _BLOCK_CACHE:
-        energy_of_positions = make_energy_of_positions(spec)
+        energy_vg = make_energy_vg(spec)
         gradient_projector = make_gradient_projector(spec)
 
         def impl(state, topo, params):
-            E, g = jax.value_and_grad(
-                lambda p: energy_of_positions(p, state, topo, params)
-            )(state.positions)
+            E, g = energy_vg(state.positions, state, topo, params)
             if gradient_projector is not None:
                 g = gradient_projector(g, state, topo, params)
             g = jnp.where(topo.fixed_mask[:, None], 0.0, g)

@@ -75,7 +75,8 @@ def make_tilt_energy(spec: ProblemSpec) -> Callable:
             e = e + fn(geo, state, topo, params)
         return e
 
-    return tilt_energy
+    # jit: trace the tilt-energy graph once per abstract signature
+    return jax.jit(tilt_energy)
 
 
 def make_tilt_constraint_rows(spec: ProblemSpec) -> Callable:
@@ -216,7 +217,10 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         st = dataclasses.replace(state, tilts_in=tin, tilts_out=tout)
         return tilt_energy(st, topo, params)
 
-    grad_fn = jax.value_and_grad(energy_of, argnums=(0, 1))
+    # jit: the tilt-energy graph traces once and is shared by every call
+    # site in the inner loop (grad eval + backtracking trials)
+    energy_of = jax.jit(energy_of)
+    grad_fn = jax.jit(jax.value_and_grad(energy_of, argnums=(0, 1)))
 
     def relax(state: MeshState, topo: Topology, params: Dict, max_iters, step_size, tol):
         dtype = state.positions.dtype
@@ -345,6 +349,9 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             E_first = jnp.asarray(0.0, dtype)
         else:
             # CG path (tilt_relaxation.py:1056-1410)
+            cg_fallback_gd = (
+                spec.option("tilt_cg_rejection_fallback", "off").lower() == "gd"
+            )
             E0, gin, gout, gnorm = eval_grads(tin, tout, state)
             E_first = E0
             r_in, r_out = -gin, -gout
@@ -354,9 +361,22 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             rz_old = jnp.sum(r_in * z_in) + jnp.sum(r_out * z_out)
 
             def body(carry):
-                (tin, tout, d_in, d_out, rz_old, E0, gnorm, i, done, nacc, rejected) = carry
+                (tin, tout, d_in, d_out, gin, gout, rz_old, E0, gnorm, i, done, nacc, rejected) = carry
                 conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
                 accepted, new_in, new_out, E1 = backtrack(tin, tout, d_in, d_out, E0)
+                if cg_fallback_gd:
+                    # on CG-direction rejection, retry the backtracking with
+                    # raw steepest descent from the full step size before
+                    # giving up (reference tilt_relaxation.py:1203-1263)
+                    def gd_retry(_):
+                        return backtrack(tin, tout, -gin, -gout, E0)
+
+                    def keep(_):
+                        return accepted, new_in, new_out, E1
+
+                    accepted, new_in, new_out, E1 = jax.lax.cond(
+                        accepted, keep, gd_retry, None
+                    )
                 take = accepted & ~conv
                 # per-accepted-step constraint refresh + tangent projection
                 ref_st = tilt_enforce(
@@ -366,8 +386,8 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 )
                 new_in2 = jnp.where(take, tangent(ref_st.tilts_in), tin)
                 new_out2 = jnp.where(take, tangent(ref_st.tilts_out), tout)
-                E2, gin, gout, gnorm2 = eval_grads(new_in2, new_out2, state)
-                r_in, r_out = -gin, -gout
+                E2, gin2, gout2, gnorm2 = eval_grads(new_in2, new_out2, state)
+                r_in, r_out = -gin2, -gout2
                 z_in = r_in * m_in[:, None]
                 z_out = r_out * m_out[:, None]
                 rz_new = jnp.sum(r_in * z_in) + jnp.sum(r_out * z_out)
@@ -380,6 +400,8 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                     new_out2,
                     jnp.where(stop, d_in, nd_in),
                     jnp.where(stop, d_out, nd_out),
+                    jnp.where(take, gin2, gin),
+                    jnp.where(take, gout2, gout),
                     jnp.where(stop, rz_old, rz_new),
                     jnp.where(take, E2, E0),
                     jnp.where(take, gnorm2, gnorm),
@@ -398,6 +420,8 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 tout,
                 d_in,
                 d_out,
+                gin,
+                gout,
                 rz_old,
                 E0,
                 gnorm,
@@ -406,7 +430,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(False),
             )
-            (tin, tout, _di, _do, _rz, E_last, g_last, _i, _done, nacc, rejected) = (
+            (tin, tout, _di, _do, _gi, _go, _rz, E_last, g_last, _i, _done, nacc, rejected) = (
                 jax.lax.while_loop(cond, body, init)
             )
 
@@ -445,7 +469,8 @@ def make_relax_vertex_tilts(spec: ProblemSpec) -> Callable:
     def energy_of(tilts, state, topo, params):
         return tilt_energy(dataclasses.replace(state, tilts=tilts), topo, params)
 
-    grad_fn = jax.value_and_grad(energy_of)
+    energy_of = jax.jit(energy_of)
+    grad_fn = jax.jit(jax.value_and_grad(energy_of))
 
     def relax(state: MeshState, topo: Topology, params: Dict, max_iters, step_size, tol):
         dtype = state.positions.dtype
