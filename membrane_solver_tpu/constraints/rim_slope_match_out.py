@@ -431,6 +431,64 @@ def make_tilt_constraint_rows(spec):
     return fn
 
 
+def make_compact_tilt_rows(spec):
+    """Compact tilt rows: out rows touch one (rim, out) slot; in rows touch
+    (rim, in) plus the paired (disk, in) slot.  Only representable in the
+    local-disk mode — the shared-mean-field mode makes in rows dense, so
+    this returns None there and the relax falls back to the dense KKT."""
+    flags = _spec_flags(spec)
+    if flags is None:
+        return None
+    has_disk, interp_outer, local_disk, _theta_is_param = flags
+    if has_disk and not local_disk:
+        return None
+
+    def fn(state, topo, params):
+        if "constraint:rim_slope_match_out/rim" not in topo.extras:
+            return None
+        positions = state.positions
+        valid, phi, _inv_dr, r_hat, weights, _normal, _omap = matching_data(
+            positions, topo, params, interp_outer=interp_outer
+        )
+        rim = _x(topo, "rim")
+        n_rows = positions.shape[0]
+        geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+        vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+        r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
+        use = valid & dir_ok
+        coeff = jnp.where(use, jnp.sqrt(jnp.maximum(weights, 0.0)), 0.0)
+        dtype = positions.dtype
+        k = rim.shape[0]
+        safe_rim = jnp.where(use, rim, 0)
+
+        out_vals = jnp.stack(
+            [coeff[:, None] * r_dir, jnp.zeros((k, 3), dtype)], axis=1
+        )  # (k, 2, 3)
+        out_rows = jnp.stack([safe_rim, jnp.zeros_like(safe_rim)], axis=1)
+        out_leaf = jnp.ones(out_rows.shape, jnp.int32)  # outer leaflet
+
+        if not has_disk:
+            return out_vals, out_rows, out_leaf
+
+        disk, dgood, disk_r_hat, _dw = _disk_geometry(positions, topo, dtype)
+        in_vals = jnp.stack(
+            [
+                coeff[:, None] * r_dir,
+                jnp.where(dgood[:, None], -coeff[:, None] * disk_r_hat, 0.0),
+            ],
+            axis=1,
+        )
+        in_rows = jnp.stack([safe_rim, jnp.where(dgood, disk, 0)], axis=1)
+        in_leaf = jnp.zeros(in_rows.shape, jnp.int32)  # inner leaflet
+        return (
+            jnp.concatenate([out_vals, in_vals], axis=0),
+            jnp.concatenate([out_rows, in_rows], axis=0),
+            jnp.concatenate([out_leaf, in_leaf], axis=0),
+        )
+
+    return fn
+
+
 def make_constraint_gradient_rows(spec):
     """Shape KKT rows tying rim/outer heights (one per condition per rim vertex)."""
     flags = _spec_flags(spec)
@@ -467,5 +525,56 @@ def make_constraint_gradient_rows(spec):
             return g_out
         g_in = -g_out
         return jnp.concatenate([g_out, g_in], axis=0)
+
+    return fn
+
+
+def make_compact_constraint_rows(spec):
+    """Compact-support form of the shape rows: (values (K, 3, 3), rows (K, 3)).
+
+    Each rim condition touches only the rim vertex and its (up to two)
+    interpolated outer vertices, so the KKT projector can assemble the
+    normal equations from slots in O(K^2 s^2) instead of O(K^2 Nv)
+    (jit_core.make_gradient_projector channel 2).  Values match the dense
+    rows of make_constraint_gradient_rows.
+    """
+    flags = _spec_flags(spec)
+    if flags is None:
+        return None
+    has_disk, interp_outer, _local_disk, _theta_is_param = flags
+
+    def fn(state, topo, params):
+        if "constraint:rim_slope_match_out/rim" not in topo.extras:
+            return None
+        positions = state.positions
+        valid, _phi, inv_dr, _r_hat, weights, normal, omap = matching_data(
+            positions, topo, params, interp_outer=interp_outer
+        )
+        rim = _x(topo, "rim")
+        outer = _x(topo, "outer")
+        idx0, idx1, w0, w1 = omap
+        k = rim.shape[0]
+        dtype = positions.dtype
+        coeff = jnp.where(valid, jnp.sqrt(jnp.maximum(weights, 0.0)) * inv_dr, 0.0)
+        nvec = jnp.asarray(normal, dtype)
+        n_rows = positions.shape[0]
+        slot_vals = jnp.stack(
+            [
+                coeff[:, None] * nvec,
+                -(coeff * w0)[:, None] * nvec,
+                -(coeff * w1)[:, None] * nvec,
+            ],
+            axis=1,
+        )  # (k, 3, 3)
+        slot_rows = jnp.stack([rim, outer[idx0], outer[idx1]], axis=1)  # (k, 3)
+        slot_rows = jnp.where(
+            jnp.broadcast_to(valid[:, None], slot_rows.shape), slot_rows, n_rows - 1
+        )
+        if not has_disk:
+            return slot_vals, slot_rows
+        return (
+            jnp.concatenate([slot_vals, -slot_vals], axis=0),
+            jnp.concatenate([slot_rows, slot_rows], axis=0),
+        )
 
     return fn

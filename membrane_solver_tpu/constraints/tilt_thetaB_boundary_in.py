@@ -107,6 +107,24 @@ def make_tilt_constraint_rows(spec):
     return fn
 
 
+def make_compact_tilt_rows(spec):
+    """Compact form: each row is one radial direction at one rim vertex's
+    inner-leaflet tilt (values (k,1,3), rows (k,1), leaflet (k,1)=0)."""
+
+    def fn(state, topo, params):
+        if f"{_PREFIX}/rows" not in topo.extras:
+            return None
+        positions = state.positions
+        rows, r_dir, ok = _directions(positions, topo)
+        ok = ok & ~topo.tilt_fixed_in_mask[rows]
+        vals = jnp.where(ok[:, None], r_dir, 0.0)[:, None, :]
+        safe_rows = jnp.where(ok, rows, 0)[:, None]
+        leaf = jnp.zeros(safe_rows.shape, jnp.int32)  # inner leaflet
+        return vals, safe_rows, leaf
+
+    return fn
+
+
 def make_enforce_tilts(spec):
     def enforce(state, topo, params):
         if f"{_PREFIX}/rows" not in topo.extras:

@@ -101,6 +101,12 @@ def mesh_to_dict(mesh: Mesh, compact: bool = False) -> Dict[str, Any]:
     if bodies:
         out["bodies"] = bodies
     out["global_parameters"] = _clean(mesh.global_parameters.to_dict())
+    # module lists are part of the checkpoint surface (reference
+    # io_writers.py / test_save_geometry_preserves_modules.py)
+    if mesh.energy_modules:
+        out["energy_modules"] = list(mesh.energy_modules)
+    if mesh.constraint_modules:
+        out["constraint_modules"] = list(mesh.constraint_modules)
     if mesh.definitions:
         out["definitions"] = _clean(mesh.definitions)
     if mesh.instructions:

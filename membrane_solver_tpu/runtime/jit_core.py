@@ -195,20 +195,27 @@ def apply_local_projection(vec: jnp.ndarray, n_hat: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_gradient_projector(spec: ProblemSpec) -> Callable | None:
-    """Two-stage exact KKT projection: local per-vertex rows analytically,
-    global rows via the small dense solve.
+    """Three-channel exact KKT projection.
 
-    Mathematically identical to stacking every row densely (projection onto
-    an intersection of null spaces = project onto the local null space, then
-    KKT-solve the globally-coupled rows premultiplied by the local
-    projector), but the cost drops from O(k^2 Nv) with k ~ #pinned vertices
-    to O(Nv) + O(k_g^2 Nv) with k_g = #global rows only.  The reference pays
-    the dense price in NumPy (runtime/constraint_projection.py); at refined
-    kozlov sizes (k ~ 1300) that dominated our whole step.
+    1. Local per-vertex rows (pins): analytic 3x3 projectors, O(Nv).
+    2. Compact-support rows (rim matching: each row touches <= s vertices):
+       the normal-equation matrix is assembled from slot (value, row) pairs
+       in O(k^2 s^2) instead of O(k^2 Nv), and the correction is a gather/
+       scatter in O(k s).
+    3. Dense rows (volume, global areas): the small dense solve as before.
+
+    Channels 2+3 are solved JOINTLY (one KKT system) after premultiplying
+    every row by the local projector — mathematically identical to stacking
+    all rows densely, since projection onto an intersection of null spaces
+    equals projecting onto the local null space and then KKT-solving the
+    remaining rows expressed inside it.  The reference pays the dense price
+    in NumPy (runtime/constraint_projection.py); at refined kozlov sizes
+    the dense form (k ~ #rim rows) went quadratic in mesh size.
     """
     from membrane_solver_tpu.constraints import get_constraint
 
     local_builders = []
+    compact_builders = []
     dense_builders = []
     for name in dict.fromkeys(spec.constraint_modules):
         mod = get_constraint(name)
@@ -221,11 +228,17 @@ def make_gradient_projector(spec: ProblemSpec) -> Callable | None:
         if local is not None:
             local_builders.append(local)
             continue  # local form supersedes this module's dense rows
+        compact_maker = getattr(mod, "make_compact_constraint_rows", None)
+        if compact_maker is not None:
+            fn = compact_maker(spec)
+            if fn is not None:
+                compact_builders.append(fn)
+                continue  # compact form supersedes this module's dense rows
         maker = getattr(mod, "make_constraint_gradient_rows", None)
         fn = maker(spec) if maker is not None else getattr(mod, "constraint_gradient_rows", None)
         if fn is not None:
             dense_builders.append(fn)
-    if not local_builders and not dense_builders:
+    if not (local_builders or compact_builders or dense_builders):
         return None
 
     def project(grad, state, topo, params):
@@ -239,15 +252,72 @@ def make_gradient_projector(spec: ProblemSpec) -> Callable | None:
             if blocks:
                 n_hat = orthonormalize_local_normals(jnp.concatenate(blocks, axis=1))
                 grad = apply_local_projection(grad, n_hat)
+
+        compact = [
+            c for c in (fn(state, topo, params) for fn in compact_builders) if c is not None
+        ]
         dense = [
             r for r in (fn(state, topo, params) for fn in dense_builders) if r is not None
         ]
-        if dense:
-            rows = jnp.concatenate(dense, axis=0)
+        if not compact and not dense:
+            return grad
+
+        n_rows = grad.shape[0]
+        vals = rows_c = None
+        if compact:
+            # pad slot counts to the max so blocks concatenate
+            s_max = max(c[0].shape[1] for c in compact)
+            vs, rs = [], []
+            for v, r in compact:
+                if v.shape[1] < s_max:
+                    pad = s_max - v.shape[1]
+                    v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+                    r = jnp.pad(r, ((0, 0), (0, pad)))
+                vs.append(v)
+                rs.append(r)
+            vals = jnp.concatenate(vs, axis=0)  # (kc, s, 3)
+            rows_c = jnp.clip(jnp.concatenate(rs, axis=0), 0, n_rows - 1)
             if n_hat is not None:
-                rows = jax.vmap(lambda r: apply_local_projection(r, n_hat))(rows)
-            grad = project_gradient_kkt(grad, rows)
-        return grad
+                # project each slot value by its vertex's local projector
+                # (zero-valued padded slots stay zero)
+                nh = n_hat[rows_c]  # (kc, s, m, 3)
+                coeff = jnp.einsum("ksc,ksmc->ksm", vals, nh)
+                vals = vals - jnp.einsum("ksm,ksmc->ksc", coeff, nh)
+
+        dense_rows = None
+        if dense:
+            dense_rows = jnp.concatenate(dense, axis=0)
+            if n_hat is not None:
+                dense_rows = jax.vmap(lambda r: apply_local_projection(r, n_hat))(dense_rows)
+
+        if vals is None:
+            return project_gradient_kkt(grad, dense_rows)
+
+        kc = vals.shape[0]
+        # A_cc from slot matching: rows overlap only where slot vertices agree
+        eq = (rows_c[:, None, :, None] == rows_c[None, :, None, :]).astype(grad.dtype)
+        dots = jnp.einsum("iac,jbc->ijab", vals, vals)
+        A_cc = jnp.sum(dots * eq, axis=(2, 3))
+        b_c = jnp.einsum("iac,iac->i", vals, grad[rows_c])
+
+        if dense_rows is None:
+            A = A_cc + 1e-18 * jnp.eye(kc, dtype=grad.dtype)
+            lam = dlinalg.solve_spd(A, b_c)
+            corr = jnp.zeros_like(grad).at[rows_c].add(lam[:, None, None] * vals)
+            return grad - corr
+
+        kd = dense_rows.shape[0]
+        Gd = dense_rows.reshape(kd, -1)
+        A_dd = Gd @ Gd.T
+        A_cd = jnp.einsum("iac,jiac->ij", vals, dense_rows[:, rows_c])
+        A = jnp.block([[A_cc, A_cd], [A_cd.T, A_dd]]) + 1e-18 * jnp.eye(
+            kc + kd, dtype=grad.dtype
+        )
+        b = jnp.concatenate([b_c, Gd @ grad.reshape(-1)])
+        lam = dlinalg.solve_spd(A, b)
+        corr = jnp.zeros_like(grad).at[rows_c].add(lam[:kc, None, None] * vals)
+        corr = corr + (lam[kc:] @ Gd).reshape(grad.shape)
+        return grad - corr
 
     return project
 

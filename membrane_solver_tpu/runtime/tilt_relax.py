@@ -156,6 +156,80 @@ def project_tilt_gradients_kkt(gin, gout, rows):
     return make_tilt_projector(rows)(gin, gout)
 
 
+def make_compact_tilt_collector(spec: ProblemSpec):
+    """Collect modules' compact tilt rows, or None if any module only has
+    the dense form (all-or-nothing: the KKT system must see every row)."""
+    from membrane_solver_tpu.constraints import get_constraint
+
+    builders = []
+    for name in dict.fromkeys(spec.constraint_modules):
+        mod = get_constraint(name)
+        dense_maker = getattr(mod, "make_tilt_constraint_rows", None)
+        if dense_maker is None:
+            continue
+        compact_maker = getattr(mod, "make_compact_tilt_rows", None)
+        fn = compact_maker(spec) if compact_maker is not None else None
+        if fn is None:
+            return None  # this module's rows are not compact-representable
+        builders.append(fn)
+    if not builders:
+        return None
+
+    def collect(state, topo, params):
+        blocks = [b for b in (fn(state, topo, params) for fn in builders) if b is not None]
+        if not blocks:
+            return None
+        s_max = max(b[0].shape[1] for b in blocks)
+        vs, rs, ls = [], [], []
+        for v, r, lf in blocks:
+            if v.shape[1] < s_max:
+                pad = s_max - v.shape[1]
+                v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+                r = jnp.pad(r, ((0, 0), (0, pad)))
+                lf = jnp.pad(lf, ((0, 0), (0, pad)))
+            vs.append(v)
+            rs.append(r)
+            ls.append(lf)
+        return (
+            jnp.concatenate(vs, axis=0),
+            jnp.concatenate(rs, axis=0),
+            jnp.concatenate(ls, axis=0),
+        )
+
+    return collect
+
+
+def make_compact_tilt_projector(compact):
+    """KKT projector over (in, out) tilt DOFs from compact slot rows.
+
+    compact: (values (k, s, 3), rows (k, s), leaflet (k, s) 0=in/1=out).
+    The normal-equation matrix is assembled from slots — rows interact only
+    where a slot vertex AND leaflet agree — factored once per relax call;
+    each iteration pays O(k s) gathers/scatters instead of O(k Nv) matvecs.
+    Identical projection to the dense form (up to summation order).
+    """
+    if compact is None:
+        return lambda gin, gout: (gin, gout)
+    vals, rows, leaf = compact
+    k = vals.shape[0]
+    eq = (
+        (rows[:, None, :, None] == rows[None, :, None, :])
+        & (leaf[:, None, :, None] == leaf[None, :, None, :])
+    ).astype(vals.dtype)
+    dots = jnp.einsum("iac,jbc->ijab", vals, vals)
+    A = jnp.sum(dots * eq, axis=(2, 3)) + 1e-18 * jnp.eye(k, dtype=vals.dtype)
+    solver = dlinalg.make_dense_solver(A)
+
+    def project(gin, gout):
+        g2 = jnp.stack([gin, gout])  # (2, Nv, 3)
+        b = jnp.einsum("iac,iac->i", vals, g2[leaf, rows])
+        lam = solver(b)
+        corr = jnp.zeros_like(g2).at[leaf, rows].add(lam[:, None, None] * vals)
+        return gin - corr[0], gout - corr[1]
+
+    return project
+
+
 def jacobi_preconditioner(positions, topo, params):
     """(M_inv_in, M_inv_out) per runtime/preconditioners.py:64-146."""
     dtype = positions.dtype
@@ -205,6 +279,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
     """relax(state, topo, params) -> (state, TiltRelaxStats), fully traced."""
     tilt_energy = make_tilt_energy(spec)
     constraint_rows_fn = make_tilt_constraint_rows(spec)
+    compact_collector = make_compact_tilt_collector(spec)
     tilt_enforce = make_tilt_enforcer(spec)
     solver = spec.option("tilt_solver", "cg").lower()
     use_precond = (
@@ -243,8 +318,13 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
 
         # constraint rows depend on positions only (frozen here): build them
         # and factor the KKT normal equations once for the whole inner solve
-        rows = constraint_rows_fn(state, topo, params)
-        projector = make_tilt_projector(rows)
+        if compact_collector is not None:
+            projector = make_compact_tilt_projector(
+                compact_collector(state, topo, params)
+            )
+        else:
+            rows = constraint_rows_fn(state, topo, params)
+            projector = make_tilt_projector(rows)
 
         def eval_grads(tin, tout, st):
             E, (gin, gout) = grad_fn(tin, tout, st, topo, params)
