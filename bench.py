@@ -78,9 +78,26 @@ LANES = {
     },
 }
 
+# the headline: the kozlov_1disk_3d lane refined to production scale
+# (6,577 vertices, the level after the reference benchmark's own two
+# refinement passes).  reference_ms measured on this host 2026-08-16:
+# the NumPy reference at L3 runs 16,260.5 ms/step (its dense KKT stack
+# goes quadratic in mesh size); same protocol position, same coupled
+# 40-iteration inner tilt solve.
+LANES["kozlov_L3"] = {
+    **LANES["kozlov"],
+    "metric": "kozlov3d_L3_per_step_ms",
+    "reference_ms": 16260.5,
+    "refines": 3,
+    "steps": 10,
+    "warmup": 2,
+    "timeout": 3000,
+}
+
 
 def measure(lane: dict, platform: str | None) -> float:
     """Run one lane in a subprocess (clean backend choice); return ms/step."""
+    refines = int(lane.get("refines", 0))
     code = f"""
 import json, time, sys
 sys.path.insert(0, {str(REPO)!r})
@@ -93,6 +110,11 @@ mesh = parse_geometry(load_data(lane["path"]))
 mesh.global_parameters.update(lane["gp"])
 mn = Minimizer(mesh, quiet=True)
 mn.step_size = lane["step_size"]
+if {refines}:
+    from membrane_solver_tpu.runtime.refinement import refine_polygonal_facets, refine_triangle_mesh
+    for _ in range({refines}):
+        m = refine_polygonal_facets(mn.mesh); m = refine_triangle_mesh(m)
+        mn.mesh = m; mn.invalidate(); mn.enforce_constraints_after_mesh_ops()
 steps = int({os.environ.get("BENCH_STEPS", 0)!r}) or lane["steps"]
 mn.minimize(lane["warmup"])
 t0 = time.perf_counter()
@@ -103,7 +125,7 @@ print("BENCH_RESULT", dt / steps * 1e3)
     env = dict(os.environ)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,
-        timeout=1800,
+        timeout=int(lane.get("timeout", 1800)),
     )
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_RESULT"):
@@ -111,39 +133,71 @@ print("BENCH_RESULT", dt / steps * 1e3)
     raise RuntimeError(f"bench subprocess failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def main() -> None:
-    lane_name = os.environ.get("BENCH_LANE", "kozlov")
-    if lane_name not in LANES:
-        sys.exit(f"error: unknown BENCH_LANE {lane_name!r}; choose from {sorted(LANES)}")
-    lane = LANES[lane_name]
-    pin = os.environ.get("BENCH_PLATFORM")
+def run_lane(lane: dict, platforms) -> dict:
     results = {}
-    if pin:
-        results[pin] = measure(lane, pin)
+    for plat in platforms:
+        try:
+            results[plat] = measure(lane, plat)
+        except Exception:
+            continue
+    return results
+
+
+def main() -> None:
+    lane_name = os.environ.get("BENCH_LANE")
+    pin = os.environ.get("BENCH_PLATFORM")
+
+    if lane_name:  # explicit lane: run it on the pinned or both platforms
+        if lane_name not in LANES:
+            sys.exit(f"error: unknown BENCH_LANE {lane_name!r}; choose from {sorted(LANES)}")
+        lane = LANES[lane_name]
+        results = run_lane(lane, [pin] if pin else ["None", "cpu"])
+        if not results:
+            sys.exit("error: all bench platforms failed")
+        platform, ms = min(results.items(), key=lambda kv: kv[1])
+        print(json.dumps({
+            "metric": lane["metric"],
+            "value": round(ms, 4),
+            "unit": "ms/step",
+            "vs_baseline": round(lane["reference_ms"] / ms, 2),
+            "platform": platform,
+            "all": {k: round(v, 3) for k, v in results.items()},
+        }))
+        return
+
+    # default: headline = production-scale kozlov L3 lane (CPU backend is
+    # measured first as the robust baseline; the TPU/default backend is
+    # attempted too and the faster one wins).  The small hard-rim lane is
+    # measured on both backends and reported alongside.
+    extras = {}
+    small = run_lane(LANES["kozlov"], [pin] if pin else ["None", "cpu"])
+    for plat, ms in small.items():
+        extras[f"kozlov_small_{plat}"] = round(ms, 3)
+
+    l3 = run_lane(LANES["kozlov_L3"], [pin] if pin else ["cpu", "None"])
+    if l3:
+        platform, ms = min(l3.items(), key=lambda kv: kv[1])
+        lane = LANES["kozlov_L3"]
+        for plat, v in l3.items():
+            extras[f"kozlov_L3_{plat}"] = round(v, 3)
+    elif small:
+        platform, ms = min(small.items(), key=lambda kv: kv[1])
+        lane = LANES["kozlov"]
     else:
-        # default platform first (TPU when tunneled), then CPU for comparison
-        try:
-            results["default"] = measure(lane, "None")
-        except Exception:
-            pass
-        try:
-            results["cpu"] = measure(lane, "cpu")
-        except Exception:
-            if not results:
-                raise
-    platform, ms = min(results.items(), key=lambda kv: kv[1])
-    print(
-        json.dumps(
-            {
-                "metric": lane["metric"],
-                "value": round(ms, 4),
-                "unit": "ms/step",
-                "vs_baseline": round(lane["reference_ms"] / ms, 2),
-                "platform": platform,
-                "all": {k: round(v, 3) for k, v in results.items()},
-            }
+        sys.exit("error: all bench lanes failed")
+    if small:
+        sp, sms = min(small.items(), key=lambda kv: kv[1])
+        extras["kozlov_small_vs_baseline"] = round(
+            LANES["kozlov"]["reference_ms"] / sms, 2
         )
-    )
+    print(json.dumps({
+        "metric": lane["metric"],
+        "value": round(ms, 4),
+        "unit": "ms/step",
+        "vs_baseline": round(lane["reference_ms"] / ms, 2),
+        "platform": platform,
+        "all": extras,
+    }))
 
 
 if __name__ == "__main__":

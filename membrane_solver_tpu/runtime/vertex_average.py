@@ -40,7 +40,7 @@ def _pin_to_circle_group(options) -> Optional[str]:
 def vertex_average(mesh: Mesh) -> None:
     mesh.build_connectivity_maps()
 
-    facet_area = {fid: mesh.facet_area(f) for fid, f in mesh.facets.items()}
+    facet_area = mesh.all_facet_areas()
     edge_weight = {
         int(eid): float(sum(facet_area.get(fid, 0.0) for fid in fids))
         for eid, fids in mesh.edge_to_facets.items()
