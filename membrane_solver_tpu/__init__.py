@@ -45,6 +45,9 @@ if os.environ.get("MEMBRANE_SOLVER_X64", "1") not in {"0", "false", "no"}:
 # MEMBRANE_SOLVER_COMPILE_CACHE=0 or point it elsewhere with =<dir>.
 _cache = os.environ.get("MEMBRANE_SOLVER_COMPILE_CACHE", "1")
 if _cache not in {"0", "false", "no"}:
+    # cached CPU executables log a benign machine-feature-mismatch ERROR per
+    # load (the cache stores the compile machine's feature list); silence it
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     _cache_dir = (
         _cache
         if _cache not in {"1", "true", "yes"}

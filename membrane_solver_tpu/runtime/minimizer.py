@@ -156,6 +156,52 @@ class Minimizer:
         E, g = jit_core.make_energy_and_grad(p.spec)(p.state, p.topo, p.params)
         return float(E), np.asarray(g[: p.n_vertices])
 
+    def tilt_relaxation_stats(self, max_iters: int | None = None) -> Dict[str, float]:
+        """On-demand tilt-relaxation telemetry (reference
+        TiltRelaxationManager.last_leaflet_relaxation_stats,
+        tilt_relaxation.py:437-483).
+
+        Runs one inner leaflet relaxation from the current state and reports
+        its counters and energies.  Observability is pulled on demand instead
+        of being threaded through the hot loop's carry — probing never
+        perturbs the minimization trajectory (the reference documents
+        observation-order hazards in its cached design; here the state is
+        immutable so the probe is side-effect free by construction).
+        """
+        from membrane_solver_tpu.runtime import tilt_relax as _tr
+
+        p = self.problem()
+        p.params = build_params(self.mesh)
+        if not _tr.spec_uses_leaflet_tilts(p.spec):
+            return {"active": 0.0}
+        relax = _tr.make_relax_leaflet_tilts(p.spec)
+        gp = self.global_params
+        iters = int(
+            max_iters
+            if max_iters is not None
+            else gp.get("tilt_cg_max_iters", gp.get("tilt_inner_steps", 40)) or 40
+        )
+        step = float(gp.get("tilt_step_size", 0.1) or 0.1)
+        tol = float(gp.get("tilt_tol", 0.0) or 0.0)
+        _state, stats = relax(
+            p.state,
+            p.topo,
+            p.params,
+            jnp.asarray(iters, jnp.int32),
+            jnp.asarray(step),
+            jnp.asarray(tol),
+        )
+        return {
+            "active": 1.0,
+            "accepted_steps": float(stats.accepted_steps),
+            "rejected": float(stats.rejected),
+            "initial_energy": float(stats.initial_energy),
+            "final_energy": float(stats.final_energy),
+            "final_gradient_norm": float(stats.final_gradient_norm),
+            "max_iters": float(iters),
+            "tilt_step_size": step,
+        }
+
     def compute_energy_and_gradient(self):
         E, g = self.compute_energy_and_gradient_array()
         p = self.problem()
