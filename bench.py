@@ -174,7 +174,13 @@ def main() -> None:
     for plat, ms in small.items():
         extras[f"kozlov_small_{plat}"] = round(ms, 3)
 
-    l3 = run_lane(LANES["kozlov_L3"], [pin] if pin else ["cpu", "None"])
+    # L3 runs the CPU backend only by default: the 8k-capacity f64 block can
+    # take many minutes to compile for TPU (emulated f64) and the lane is
+    # latency-bound there anyway; opt in with BENCH_TPU_L3=1.
+    l3_platforms = [pin] if pin else (
+        ["cpu", "None"] if os.environ.get("BENCH_TPU_L3") == "1" else ["cpu"]
+    )
+    l3 = run_lane(LANES["kozlov_L3"], l3_platforms)
     if l3:
         platform, ms = min(l3.items(), key=lambda kv: kv[1])
         lane = LANES["kozlov_L3"]

@@ -34,6 +34,16 @@ class GoCommand(Command):
         result = context.minimizer.minimize(n_steps=n_steps, callback=callback)
         context.mesh = result["mesh"]
         logger.info("Minimization complete. Final energy: %s", result["energy"])
+        # post-run topology hazard scan (reference commands/minimization.py:54-58)
+        from membrane_solver_tpu.runtime.topology_guards import (
+            detect_vertex_edge_collisions,
+        )
+
+        collisions = detect_vertex_edge_collisions(context.mesh)
+        if collisions:
+            logger.warning(
+                "TOPOLOGY WARNING: %d vertex-edge collisions detected!", len(collisions)
+            )
 
 
 class SetStepperCommand(Command):

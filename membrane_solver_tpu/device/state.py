@@ -329,6 +329,44 @@ def compile_state(
 
     for key, arr in _lp.compile_topology(layout).items():
         extras[f"energy:leaflet_presence/{key}"] = jnp.asarray(arr)
+    # core hook: axisymmetric tilt projection axis/center constants
+    # (reference runtime/projections/tilt.py:58-97)
+    if bool(mesh.global_parameters.get("tilt_axisymmetric_about_thetaB_center", False)):
+        extras["core:tilt_axisym/center"] = jnp.asarray(
+            np.asarray(
+                mesh.global_parameters.get("tilt_thetaB_center") or [0.0, 0.0, 0.0],
+                dtype=float,
+            ).reshape(3)
+        )
+        axis = np.asarray(
+            mesh.global_parameters.get("tilt_thetaB_normal") or [0.0, 0.0, 1.0],
+            dtype=float,
+        ).reshape(3)
+        n = float(np.linalg.norm(axis))
+        extras["core:tilt_axisym/axis"] = jnp.asarray(
+            axis / n if n > 1e-15 else np.array([0.0, 0.0, 1.0])
+        )
+    # core hook: curved free-disk shape-DOF restriction masks (reference
+    # runtime/projections/curved_disk.py:14-54) — shared_rim_staggered_v1
+    # restricts shape descent to heights and removes the artificial
+    # support-transition rows' z-DOFs
+    _mode = str(mesh.global_parameters.get("rim_slope_match_mode") or "").strip().lower()
+    if _mode == "shared_rim_staggered_v1" and all(
+        mesh.global_parameters.get(k) is not None
+        for k in ("rim_slope_match_group", "rim_slope_match_outer_group", "rim_slope_match_disk_group")
+    ):
+        support_group = str(mesh.global_parameters.get("rim_slope_match_outer_group") or "").strip()
+        support = np.zeros(nv_cap, dtype=bool)
+        for row, vid in enumerate(vertex_ids):
+            opts = mesh.vertices[int(vid)].options or {}
+            if str(opts.get("rim_slope_match_group") or "") == support_group:
+                support[row] = True
+        transition = np.zeros(nv_cap, dtype=bool)
+        if support.any() and len(tri_fids):
+            tri_arr = np.asarray(tri_rows_np, dtype=int)
+            hit = support[tri_arr].any(axis=1)
+            transition[np.unique(tri_arr[hit])] = True
+        extras["core:curved_disk/transition_mask"] = jnp.asarray(transition)
     # core hook: scaffold trace-layer rows for the rejected-shape-step
     # trace-z fallback (reference minimizer.py:59-66, 298-428)
     if str(mesh.global_parameters.get("shape_scaffold_rejected_step_fallback", "") or "").lower() == "trace_z":
@@ -375,6 +413,7 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "bending_tilt_energy_model",
     "tilt_cg_rejection_fallback",
     "shape_scaffold_rejected_step_fallback",
+    "rim_slope_match_mode",
 )
 
 
@@ -384,6 +423,10 @@ def collect_static_options(gp) -> Tuple[Tuple[str, str], ...]:
         val = gp.get(key)
         if val is not None:
             out.append((key, str(val)))
+    # derived static switch: axisymmetric tilt projection about the theta_B
+    # axis (reference runtime/projections/tilt.py:58-97)
+    if bool(gp.get("tilt_axisymmetric_about_thetaB_center", False)):
+        out.append(("tilt_axisym", "on"))
     # derived static switch: whether the tilt-relax energy guard is active.
     # The guard's threshold stays a traced scalar; only on/off is static so
     # the minimize block skips tracing the 2x-relax guarded branch entirely

@@ -717,10 +717,20 @@ def _minimize_block_impl(
         return jax.lax.cond(guard_factor > 0.0, guarded, plain, state)
 
     energy_vg = make_energy_vg(spec)
+    # curved free-disk lanes: restrict shape descent to height DOFs and zero
+    # the artificial support-transition rows (reference
+    # runtime/projections/curved_disk.py:14-54), statically gated
+    curved_disk_mode = (
+        spec.option("rim_slope_match_mode", "").lower() == "shared_rim_staggered_v1"
+    )
 
     def value_and_grad_projected(state):
         E, g = energy_vg(state.positions, state, topo, params)
         E = jnp.asarray(E, dtype)
+        if curved_disk_mode and "core:curved_disk/transition_mask" in topo.extras:
+            g = g.at[:, :2].set(0.0)
+            trans = topo.extras["core:curved_disk/transition_mask"]
+            g = g.at[:, 2].set(jnp.where(trans, 0.0, g[:, 2]))
         # KKT projection sees the un-zeroed gradient and full constraint
         # gradients; fixed rows are zeroed afterwards (minimizer.py:984-989).
         if gradient_projector is not None:

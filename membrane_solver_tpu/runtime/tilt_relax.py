@@ -306,13 +306,43 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         fixed_in = topo.tilt_fixed_in_mask
         fixed_out = topo.tilt_fixed_out_mask
 
-        def tangent(t):
+        def tangent_plain(t):
             return t - jnp.sum(t * normals, axis=1, keepdims=True) * normals
 
-        # 1. enforce tilt constraints + tangent-project
+        if spec.option("tilt_axisym", "off") == "on":
+            # axisymmetric radial-subspace projection about the theta_B axis
+            # (reference projections/tilt.py:16-97), composed after the
+            # tangent projection; fixed rows keep their values
+            center = topo.extras["core:tilt_axisym/center"].astype(dtype)
+            axis = topo.extras["core:tilt_axisym/axis"].astype(dtype)
+            r_vec = positions - center
+            r_vec = r_vec - jnp.sum(r_vec * axis, axis=1, keepdims=True) * axis
+            r_len = jnp.linalg.norm(r_vec, axis=1)
+            good0 = r_len > 1e-12
+            r_hat = jnp.where(good0[:, None], r_vec / jnp.maximum(r_len, 1e-12)[:, None], 0.0)
+            r_dir = r_hat - jnp.sum(r_hat * normals, axis=1, keepdims=True) * normals
+            r_norm = jnp.linalg.norm(r_dir, axis=1)
+            good = good0 & (r_norm > 1e-12)
+            r_unit = jnp.where(good[:, None], r_dir / jnp.maximum(r_norm, 1e-12)[:, None], 0.0)
+
+            def axisym(t, fixed_mask):
+                t_tan = tangent_plain(t)
+                amp = jnp.sum(t_tan * r_unit, axis=1)
+                proj = jnp.where(good[:, None], amp[:, None] * r_unit, 0.0)
+                return jnp.where(fixed_mask[:, None], t_tan, proj)
+
+            def tangent_in(t):
+                return axisym(t, fixed_in)
+
+            def tangent_out(t):
+                return axisym(t, fixed_out)
+        else:
+            tangent_in = tangent_out = tangent_plain
+
+        # 1. enforce tilt constraints + tangent-project (+ optional axisym)
         state = tilt_enforce(state, topo, params)
-        tin = tangent(state.tilts_in)
-        tout = tangent(state.tilts_out)
+        tin = tangent_in(state.tilts_in)
+        tout = tangent_out(state.tilts_out)
         fixed_vals_in = tin
         fixed_vals_out = tout
 
@@ -341,8 +371,8 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             m_out = jnp.ones(n_rows, dtype)
 
         def build_trial(base_in, base_out, delta_in, delta_out):
-            trial_in = tangent(base_in + delta_in)
-            trial_out = tangent(base_out + delta_out)
+            trial_in = tangent_in(base_in + delta_in)
+            trial_out = tangent_out(base_out + delta_out)
             trial_in = jnp.where(fixed_in[:, None], fixed_vals_in, trial_in)
             trial_out = jnp.where(fixed_out[:, None], fixed_vals_out, trial_out)
             return trial_in, trial_out
@@ -399,8 +429,8 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                     params,
                 )
                 return (
-                    jnp.where(take, tangent(ref_st.tilts_in), tin),
-                    jnp.where(take, tangent(ref_st.tilts_out), tout),
+                    jnp.where(take, tangent_in(ref_st.tilts_in), tin),
+                    jnp.where(take, tangent_out(ref_st.tilts_out), tout),
                     i + 1,
                     done | conv | ~accepted,
                     nacc + take.astype(jnp.int32),
@@ -464,8 +494,8 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                     topo,
                     params,
                 )
-                new_in2 = jnp.where(take, tangent(ref_st.tilts_in), tin)
-                new_out2 = jnp.where(take, tangent(ref_st.tilts_out), tout)
+                new_in2 = jnp.where(take, tangent_in(ref_st.tilts_in), tin)
+                new_out2 = jnp.where(take, tangent_out(ref_st.tilts_out), tout)
                 E2, gin2, gout2, gnorm2 = eval_grads(new_in2, new_out2, state)
                 r_in, r_out = -gin2, -gout2
                 z_in = r_in * m_in[:, None]
