@@ -165,6 +165,18 @@ def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
     # rcond cutoff would drop them and produce a different projection.
     # solve_spd (explicit elimination) lowers on TPU in f64, unlike LU.
     lam = dlinalg.solve_spd(A, b)
+    # rescue path: EXACTLY duplicated rows make A_ii = x + 1e-18 round back
+    # to x, so A is singular in f64 and LU yields non-finite multipliers
+    # (the reference shares this failure mode).  Re-solve with a
+    # scale-aware ridge only when that happens — the happy path is
+    # untouched, preserving bit parity with the reference lanes.
+    def rescue(_):
+        ridge = 1e-12 * (jnp.trace(A) / k + 1.0)
+        return dlinalg.solve_spd(A + ridge * jnp.eye(k, dtype=grad.dtype), b)
+
+    lam = jax.lax.cond(
+        jnp.all(jnp.isfinite(lam)), lambda _: lam, rescue, None
+    )
     return (flatg - lam @ G).reshape(grad.shape)
 
 
