@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-edges", action="store_true")
     ap.add_argument("--vertices", action="store_true")
     ap.add_argument("--indices", action="store_true")
+    ap.add_argument("--boundary-loops", action="store_true",
+                    help="overlay open-boundary loops with geodesic sums")
     ap.add_argument("--alpha", type=float, default=0.6)
     ap.add_argument("--title", default=None)
     ap.add_argument("--save", default=None, metavar="PNG")
@@ -67,6 +69,7 @@ def main(argv=None) -> int:
         show_edges=not args.no_edges,
         show_vertices=args.vertices,
         show_indices=args.indices,
+        show_boundary_loops=args.boundary_loops,
         alpha=args.alpha,
         title=args.title or args.input,
         show=args.save is None,

@@ -28,6 +28,7 @@ def plot_geometry(
     show_edges: bool = True,
     show_vertices: bool = False,
     show_indices: bool = False,
+    show_boundary_loops: bool = False,
     alpha: float = 0.6,
     title: Optional[str] = None,
     ax=None,
@@ -51,6 +52,24 @@ def plot_geometry(
         vid: float(np.linalg.norm(v.tilt) or np.linalg.norm(v.tilt_in) or 0.0)
         for vid, v in mesh.vertices.items()
     }
+    div_by_fid = {}
+    if color_by == "divergence":
+        # per-triangle P1 divergence of the dominant tilt field
+        # (reference plot_core facet coloring "div" mode)
+        from membrane_solver_tpu.device.tilt_ops import p1_triangle_divergence
+
+        rows, tri_fids = mesh.triangle_rows()
+        if len(tri_fids):
+            import jax.numpy as jnp
+
+            pos = jnp.asarray(mesh.positions_array())
+            fields = [mesh.tilts_array(), mesh.tilts_in_array(), mesh.tilts_out_array()]
+            tilts = max(fields, key=lambda t: float(np.abs(t).max()))
+            div, _area, _g = p1_triangle_divergence(
+                pos, jnp.asarray(np.asarray(tilts)), jnp.asarray(np.asarray(rows)),
+                jnp.ones(len(tri_fids), bool),
+            )
+            div_by_fid = {int(f): float(d) for f, d in zip(tri_fids, np.asarray(div))}
     for fid in sorted(mesh.facets):
         facet = mesh.facets[fid]
         loop = mesh.facet_vertex_loop(facet)
@@ -58,6 +77,8 @@ def plot_geometry(
         polys.append(pts)
         if color_by == "tilt":
             face_values.append(np.mean([tilt_mags[v] for v in loop]))
+        elif color_by == "divergence":
+            face_values.append(abs(div_by_fid.get(fid, 0.0)))
         else:
             face_values.append(0.0)
 
@@ -87,6 +108,23 @@ def plot_geometry(
             for field, color in ((v.tilt, "red"), (v.tilt_in, "blue"), (v.tilt_out, "green")):
                 if np.linalg.norm(field) > 1e-12:
                     ax.quiver(*v.position, *field, color=color, length=0.2, normalize=True)
+
+    if show_boundary_loops:
+        # open-surface boundary loops with geodesic-turning annotation
+        # (reference plot_core boundary-loop overlay)
+        from membrane_solver_tpu.runtime.diagnostics.gauss_bonnet import (
+            boundary_geodesic_sum,
+            extract_boundary_loops,
+            find_boundary_edges,
+        )
+
+        loops = extract_boundary_loops(mesh, find_boundary_edges(mesh))
+        geos = boundary_geodesic_sum(mesh, loops)
+        for li, loop in enumerate(loops):
+            lp = np.array([mesh.vertices[v].position for v in loop + loop[:1]])
+            ax.plot(lp[:, 0], lp[:, 1], lp[:, 2], color="darkorange", lw=1.6)
+            g = geos.get(li, geos.get(loop[0], 0.0)) if isinstance(geos, dict) else 0.0
+            ax.text(*lp[0], f"∮κg={g:.3f}", fontsize=7, color="darkorange")
 
     if len(pts):
         # equal aspect
