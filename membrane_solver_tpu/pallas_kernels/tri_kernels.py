@@ -96,9 +96,10 @@ def surface_corner_grads_pallas(p0, p1, p2, gamma_tri):
     """
     T = p0.shape[0]
     t_pad = max(-(-T // LANES) * LANES, LANES)
+    tile = min(_TILE_T, t_pad)
+    t_pad = -(-t_pad // tile) * tile  # grid covers the whole padded axis
     x = _pad_T(_stack_cm(p0, p1, p2), t_pad)  # (9, t_pad)
     g = _pad_T(gamma_tri[None, :], t_pad)  # (1, t_pad)
-    tile = min(_TILE_T, t_pad)
     grid = t_pad // tile
     out = pl.pallas_call(
         _surface_kernel,
@@ -179,9 +180,10 @@ def curvature_corners_pallas(p0, p1, p2, valid):
     """
     T = p0.shape[0]
     t_pad = max(-(-T // LANES) * LANES, LANES)
+    tile = min(_TILE_T, t_pad)
+    t_pad = -(-t_pad // tile) * tile  # grid covers the whole padded axis
     x = _pad_T(_stack_cm(p0, p1, p2), t_pad)
     m = _pad_T(valid.astype(x.dtype)[None, :], t_pad)
-    tile = min(_TILE_T, t_pad)
     out = pl.pallas_call(
         _curvature_kernel,
         out_shape=jax.ShapeDtypeStruct((16, t_pad), x.dtype),
@@ -243,9 +245,10 @@ def p1_divergence_pallas(p0, p1, p2, t0, t1, t2):
     """(div (T,), area (T,), g0, g1, g2 (T,3)): P1 divergence of a tilt field."""
     T = p0.shape[0]
     t_pad = max(-(-T // LANES) * LANES, LANES)
+    tile = min(_TILE_T, t_pad)
+    t_pad = -(-t_pad // tile) * tile  # grid covers the whole padded axis
     x = _pad_T(_stack_cm(p0, p1, p2), t_pad)
     t = _pad_T(_stack_cm(t0, t1, t2), t_pad)
-    tile = min(_TILE_T, t_pad)
     out = pl.pallas_call(
         _p1_div_kernel,
         out_shape=jax.ShapeDtypeStruct((11, t_pad), x.dtype),

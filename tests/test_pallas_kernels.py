@@ -40,6 +40,24 @@ def tri_data():
     )
 
 
+def test_surface_kernel_multiblock_parity():
+    """T > one grid tile (512): the multi-block grid must cover the tail."""
+    rng = np.random.default_rng(4)
+    T, Nv = 1300, 400
+    tri_rows = rng.integers(0, Nv, size=(T, 3)).astype(np.int32)
+    tri_rows[:, 1] = (tri_rows[:, 0] + 1) % Nv
+    tri_rows[:, 2] = (tri_rows[:, 1] + 7) % Nv
+    positions = jnp.asarray(rng.standard_normal((Nv, 3)).astype(np.float32))
+    valid = jnp.ones(T, dtype=bool)
+    p0, p1, p2 = (positions[tri_rows[:, i]] for i in range(3))
+    gamma = jnp.full((T,), jnp.float32(1.3))
+    e_tri, _g0, _g1, _g2 = surface_corner_grads_pallas(p0, p1, p2, gamma)
+    geo = dgeo.triangle_geometry(positions, jnp.asarray(tri_rows), valid)
+    np.testing.assert_allclose(
+        np.asarray(e_tri), np.asarray(1.3 * geo.area), rtol=2e-5, atol=1e-6
+    )
+
+
 def test_surface_kernel_parity(tri_data):
     positions, tri_rows, valid, _ = tri_data
     p0, p1, p2 = (positions[tri_rows[:, i]] for i in range(3))
