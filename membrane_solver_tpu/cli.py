@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--non-interactive", action="store_true", help="skip the REPL")
     p.add_argument("-q", "--quiet", action="store_true", help="suppress per-step output")
     p.add_argument("--debug", action="store_true", help="debug logging")
+    p.add_argument("--debugger", action="store_true",
+                   help="drop into pdb post-mortem when an instruction fails")
     p.add_argument("--log", nargs="?", const="", help="log to a file (default: next to input)")
     p.add_argument("--stepper", default="gd", choices=["gd", "cg", "bfgs"])
     p.add_argument("--step-size", type=float, default=None)
@@ -172,12 +174,24 @@ def main(argv=None) -> int:
         execute_command_line(ctx, "properties")
         return 0
 
-    for line in args.instructions:
-        execute_command_line(ctx, line)
-        ctx.sync_mesh()
-    for line in mesh.instructions:
-        execute_command_line(ctx, line)
-        ctx.sync_mesh()
+    try:
+        for line in args.instructions:
+            execute_command_line(ctx, line)
+            ctx.sync_mesh()
+        for line in mesh.instructions:
+            execute_command_line(ctx, line)
+            ctx.sync_mesh()
+    except Exception:
+        if args.debugger:
+            # post-mortem debugging of a failed instruction (reference
+            # main.py --debugger)
+            import pdb
+            import traceback
+
+            traceback.print_exc()
+            pdb.post_mortem()
+            return 1
+        raise
 
     if args.viz or args.viz_save:
         from membrane_solver_tpu.visualization.plot_core import plot_geometry
