@@ -35,10 +35,10 @@ from pathlib import Path
 REPO = Path(__file__).parent
 
 def _kozlov_input() -> str:
-    """Reference fixture when mounted (exact parity lane); else a
-    standalone meshgen-generated equivalent."""
+    """Repo-local meshgen-generated lane by default; the read-only reference
+    fixture only behind an explicit opt-in (exact parity runs)."""
     ref = "/root/reference/benchmarks/inputs/bench_kozlov_1disk_profile_hard_rim_R12.yaml"
-    if os.path.exists(ref):
+    if os.environ.get("MEMBRANE_USE_REFERENCE_INPUTS") == "1" and os.path.exists(ref):
         return ref
     gen = "/tmp/membrane_bench_kozlov.json"
     if not os.path.exists(gen):
@@ -117,13 +117,19 @@ if {refines}:
         mn.mesh = m; mn.invalidate(); mn.enforce_constraints_after_mesh_ops()
 steps = int({os.environ.get("BENCH_STEPS", 0)!r}) or lane["steps"]
 mn.minimize(lane["warmup"])
-# best-of-2 timed passes: robust to transient host load
+# best-of-2 timed passes: robust to transient host load.  Each pass divides
+# by the iterations actually run (the second pass may converge or
+# zero-step-terminate early on the already-minimized state).
 best = float("inf")
 for _ in range(2):
     t0 = time.perf_counter()
-    mn.minimize(steps)
-    best = min(best, time.perf_counter() - t0)
-print("BENCH_RESULT", best / steps * 1e3)
+    res = mn.minimize(steps)
+    dt = time.perf_counter() - t0
+    iters = max(int(res.get("iterations", steps)), 1)
+    best = min(best, dt / iters)
+    if res.get("terminated_early") or res.get("converged"):
+        break  # the state is converged; a further pass measures nothing real
+print("BENCH_RESULT", best * 1e3)
 """
     env = dict(os.environ)
     out = subprocess.run(

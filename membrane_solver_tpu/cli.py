@@ -136,9 +136,14 @@ def repl(ctx: CommandContext) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.f32:
-        os.environ["MEMBRANE_SOLVER_X64"] = "0"
     import jax
+
+    if args.f32:
+        # The package enables x64 at import time (triggered by this module's
+        # own imports), so setting the env var here is too late; flip the
+        # config directly before any arrays are created.
+        os.environ["MEMBRANE_SOLVER_X64"] = "0"
+        jax.config.update("jax_enable_x64", False)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

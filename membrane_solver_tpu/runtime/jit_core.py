@@ -739,14 +739,19 @@ def _minimize_block_impl(
     def value_and_grad_projected(state):
         E, g = energy_vg(state.positions, state, topo, params)
         E = jnp.asarray(E, dtype)
-        if curved_disk_mode and "core:curved_disk/transition_mask" in topo.extras:
-            g = g.at[:, :2].set(0.0)
-            trans = topo.extras["core:curved_disk/transition_mask"]
-            g = g.at[:, 2].set(jnp.where(trans, 0.0, g[:, 2]))
         # KKT projection sees the un-zeroed gradient and full constraint
         # gradients; fixed rows are zeroed afterwards (minimizer.py:984-989).
         if gradient_projector is not None:
             g = gradient_projector(g, state, topo, params)
+        # Curved free-disk DOF restriction AFTER the constraint projection
+        # (reference runtime/minimizer.py:1302-1303 applies
+        # project_curved_free_disk_shape_dofs after project_constraints_array)
+        # so pin normals/constraint rows with lateral components cannot
+        # reintroduce x/y descent.
+        if curved_disk_mode and "core:curved_disk/transition_mask" in topo.extras:
+            g = g.at[:, :2].set(0.0)
+            trans = topo.extras["core:curved_disk/transition_mask"]
+            g = g.at[:, 2].set(jnp.where(trans, 0.0, g[:, 2]))
         g = jnp.where(topo.fixed_mask[:, None], 0.0, g)
         return E, g
 
