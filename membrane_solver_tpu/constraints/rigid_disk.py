@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from membrane_solver_tpu.device import linalg as dlinalg
+from membrane_solver_tpu.utils.precision import fmax_tiny as _fmax_tiny
 
 _PREFIX = "constraint:rigid_disk"
 
@@ -213,16 +214,16 @@ def make_enforce(spec):
         Q0 = (current - Qc) * w
         H = P0.T @ Q0
         evals, V = dlinalg.eigh_3x3(H.T @ H)
-        sig = jnp.sqrt(jnp.maximum(evals, 1e-300))
+        sig = jnp.sqrt(_fmax_tiny(evals))
         U = (H @ V) / sig[None, :]
-        u2 = U[:, 2] / jnp.maximum(jnp.linalg.norm(U[:, 2]), 1e-300)
+        u2 = U[:, 2] / _fmax_tiny(jnp.linalg.norm(U[:, 2]))
         u1 = U[:, 1] - jnp.dot(U[:, 1], u2) * u2
-        u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-300)
+        u1 = u1 / _fmax_tiny(jnp.linalg.norm(u1))
         u0 = jnp.cross(u1, u2)
         Um = jnp.stack([u0, u1, u2], axis=1)
         v2 = V[:, 2]
         v1 = V[:, 1] - jnp.dot(V[:, 1], v2) * v2
-        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-300)
+        v1 = v1 / _fmax_tiny(jnp.linalg.norm(v1))
         v0 = jnp.cross(v1, v2)
         Vm = jnp.stack([v0, v1, v2], axis=1)
         R = Vm @ Um.T
@@ -257,16 +258,16 @@ def make_enforce(spec):
             Q02 = (corrected - Qc2) * w
             H2 = P0.T @ Q02
             evals2, V2 = dlinalg.eigh_3x3(H2.T @ H2)
-            sig2 = jnp.sqrt(jnp.maximum(evals2, 1e-300))
+            sig2 = jnp.sqrt(_fmax_tiny(evals2))
             U2 = (H2 @ V2) / sig2[None, :]
-            u2b = U2[:, 2] / jnp.maximum(jnp.linalg.norm(U2[:, 2]), 1e-300)
+            u2b = U2[:, 2] / _fmax_tiny(jnp.linalg.norm(U2[:, 2]))
             u1b = U2[:, 1] - jnp.dot(U2[:, 1], u2b) * u2b
-            u1b = u1b / jnp.maximum(jnp.linalg.norm(u1b), 1e-300)
+            u1b = u1b / _fmax_tiny(jnp.linalg.norm(u1b))
             u0b = jnp.cross(u1b, u2b)
             Um2 = jnp.stack([u0b, u1b, u2b], axis=1)
             v2b = V2[:, 2]
             v1b = V2[:, 1] - jnp.dot(V2[:, 1], v2b) * v2b
-            v1b = v1b / jnp.maximum(jnp.linalg.norm(v1b), 1e-300)
+            v1b = v1b / _fmax_tiny(jnp.linalg.norm(v1b))
             v0b = jnp.cross(v1b, v2b)
             Vm2 = jnp.stack([v0b, v1b, v2b], axis=1)
             R2 = Vm2 @ Um2.T

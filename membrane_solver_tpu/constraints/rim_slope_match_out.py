@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from membrane_solver_tpu.device import geo as dgeo
+from membrane_solver_tpu.utils.precision import fmax_tiny as _fmax_tiny
 
 
 def _group_rows(layout, group):
@@ -171,7 +172,7 @@ def _ring_arc_params(pos, valid):
     seg = jnp.where(idx < n_live, jnp.linalg.norm(pos[nxt] - pos, axis=1), 0.0)
     total = jnp.sum(seg)
     s = jnp.concatenate([jnp.zeros((1,), pos.dtype), jnp.cumsum(seg)[:-1]])
-    return s / jnp.maximum(total, 1e-300), total
+    return s / _fmax_tiny(total), total
 
 
 def _interp_ring(outer_pos, outer_valid, s_targets):
@@ -343,7 +344,7 @@ def make_enforce_tilts(spec):
                 theta_i = jnp.full_like(
                     phi,
                     jnp.sum(jnp.where(dgood, dw * theta_vals, 0.0))
-                    / jnp.maximum(wsum, 1e-300),
+                    / _fmax_tiny(wsum),
                 )
         ok_in = use & ~topo.tilt_fixed_in_mask[rim]
         t_in_rad = jnp.sum(tilts_in[rim] * r_dir, axis=1)
@@ -353,6 +354,72 @@ def make_enforce_tilts(spec):
         return dataclasses.replace(state, tilts_in=tilts_in, tilts_out=tilts_out)
 
     return enforce
+
+
+def make_frozen_enforce_tilts(spec):
+    """Frozen split of :func:`make_enforce_tilts` (positions constant).
+
+    The matching payload (phi targets, tangent radial directions, arc
+    weights, disk ring geometry) is position-only and baked once per relax
+    call; the per-iteration work is the ring gathers/updates on the tilt
+    fields with arithmetic identical to the full path.
+    """
+    flags = _spec_flags(spec)
+    if flags is None:
+        return None
+    has_disk, interp_outer, local_disk, theta_is_param = flags
+
+    def precompute(state, topo, params):
+        positions = state.positions
+        valid, phi, _inv_dr, r_hat, _w, _normal, _omap = matching_data(
+            positions, topo, params, interp_outer=interp_outer
+        )
+        rim = _x(topo, "rim")
+        n_rows = positions.shape[0]
+        geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+        vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+        r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
+        use = valid & dir_ok
+        fr = {
+            "rim": rim,
+            "phi": phi,
+            "r_dir": r_dir,
+            "ok_out": use & ~topo.tilt_fixed_out_mask[rim],
+            "ok_in": use & ~topo.tilt_fixed_in_mask[rim],
+        }
+        if not (theta_is_param or not has_disk):
+            disk, dgood, disk_r_hat, dw = _disk_geometry(
+                positions, topo, positions.dtype
+            )
+            fr.update(disk=disk, dgood=dgood, disk_r_hat=disk_r_hat, dw=dw)
+        return fr
+
+    def enforce(tin, tout, fr, topo, params):
+        rim, phi, r_dir = fr["rim"], fr["phi"], fr["r_dir"]
+        t_out_rad = jnp.sum(tout[rim] * r_dir, axis=1)
+        delta_out = jnp.where(fr["ok_out"], phi - t_out_rad, 0.0)
+        tout = tout.at[rim].add(delta_out[:, None] * r_dir)
+
+        if theta_is_param or not has_disk:
+            theta = params.get("tilt_thetaB_value", jnp.asarray(0.0))
+            theta_i = jnp.full_like(phi, theta)
+        else:
+            theta_vals = jnp.sum(tin[fr["disk"]] * fr["disk_r_hat"], axis=1)
+            if local_disk:
+                theta_i = theta_vals
+            else:
+                wsum = jnp.sum(jnp.where(fr["dgood"], fr["dw"], 0.0))
+                theta_i = jnp.full_like(
+                    phi,
+                    jnp.sum(jnp.where(fr["dgood"], fr["dw"] * theta_vals, 0.0))
+                    / _fmax_tiny(wsum),
+                )
+        t_in_rad = jnp.sum(tin[rim] * r_dir, axis=1)
+        delta_in = jnp.where(fr["ok_in"], (theta_i - phi) - t_in_rad, 0.0)
+        tin = tin.at[rim].add(delta_in[:, None] * r_dir)
+        return tin, tout
+
+    return precompute, enforce
 
 
 def enforce_tilts(state, topo, params):
@@ -420,7 +487,7 @@ def make_tilt_constraint_rows(spec):
             gin = gin.at[idx, disk].add(-coeff[:, None] * disk_r_hat)
         else:
             wsum = jnp.sum(jnp.where(dgood, dw, 0.0))
-            mean_dirs = (dw / jnp.maximum(wsum, 1e-300))[:, None] * disk_r_hat
+            mean_dirs = (dw / _fmax_tiny(wsum))[:, None] * disk_r_hat
             shared = jnp.zeros((n_rows, 3), dtype).at[disk].add(
                 jnp.where(dgood[:, None], mean_dirs, 0.0)
             )

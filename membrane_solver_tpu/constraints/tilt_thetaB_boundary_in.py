@@ -141,3 +141,30 @@ def make_enforce_tilts(spec):
         )
 
     return enforce
+
+
+def make_frozen_enforce_tilts(spec):
+    """Frozen split of :func:`make_enforce_tilts` (positions constant).
+
+    The ring rows and tangent radial directions are position-only; the
+    per-iteration work is one gather + one scatter on the ring rows with
+    arithmetic identical to the full path.
+    """
+
+    def precompute(state, topo, params):
+        if f"{_PREFIX}/rows" not in topo.extras:
+            return {}
+        rows, r_dir, ok = _directions(state.positions, topo)
+        ok = ok & ~topo.tilt_fixed_in_mask[rows]
+        return {"rows": rows, "r_dir": r_dir, "ok": ok}
+
+    def enforce(tin, tout, fr, topo, params):
+        if not fr:
+            return tin, tout
+        theta = params.get("tilt_thetaB_value", jnp.asarray(0.0))
+        rows, r_dir, ok = fr["rows"], fr["r_dir"], fr["ok"]
+        t_rad = jnp.sum(tin[rows] * r_dir, axis=1)
+        delta = jnp.where(ok, theta - t_rad, 0.0)
+        return tin.at[rows].add(delta[:, None] * r_dir), tout
+
+    return precompute, enforce

@@ -30,6 +30,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from membrane_solver_tpu.utils.precision import tiny as _tiny
+
 EPS_AREA = 1e-12
 
 
@@ -258,7 +260,7 @@ def interior_angles(
         w = b - p
         nu = jnp.linalg.norm(u, axis=1)
         nw = jnp.linalg.norm(w, axis=1)
-        cosang = _dot(u, w) / jnp.maximum(nu * nw, 1e-300)
+        cosang = _dot(u, w) / jnp.maximum(nu * nw, _tiny(positions.dtype))
         return jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
 
     a0 = corner_angle(v0, v1, v2)
@@ -346,7 +348,7 @@ def check_normal_rotation(
     n_new, norm_new = normals_of(new_positions)
     good_old = tri_valid & (norm_old > EPS_AREA)
     collapsed = good_old & (norm_new < EPS_AREA)
-    cosang = _dot(n_old, n_new) / jnp.maximum(norm_old * norm_new, 1e-300)
+    cosang = _dot(n_old, n_new) / jnp.maximum(norm_old * norm_new, _tiny(old_positions.dtype))
     angle = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
     rotated_too_far = good_old & (angle > limit_radians)
     return ~(jnp.any(collapsed) | jnp.any(rotated_too_far))

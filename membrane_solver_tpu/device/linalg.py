@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from membrane_solver_tpu.utils.precision import degen as _degen, tiny as _tiny
+
 
 def cholesky(A: jnp.ndarray) -> jnp.ndarray:
     """Unpivoted Cholesky factor L (A = L L^T) via outer-product updates.
@@ -32,7 +34,7 @@ def cholesky(A: jnp.ndarray) -> jnp.ndarray:
     rows = jnp.arange(n)
 
     def body(k, A):
-        pivot = jnp.sqrt(jnp.maximum(A[k, k], 1e-300))
+        pivot = jnp.sqrt(jnp.maximum(A[k, k], _tiny(A.dtype)))
         col = A[:, k] / pivot
         col = jnp.where(rows > k, col, 0.0).at[k].set(pivot)
         mask = (rows[:, None] > k) & (rows[None, :] > k)
@@ -84,7 +86,7 @@ def solve_gepp(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         rp = Ab[p]
         Ab = Ab.at[k].set(rp).at[p].set(rk)
         pivot = Ab[k, k]
-        safe = jnp.where(jnp.abs(pivot) > 1e-300, pivot, 1.0)
+        safe = jnp.where(jnp.abs(pivot) > _tiny(Ab.dtype), pivot, 1.0)
         factors = jnp.where(rows > k, Ab[:, k] / safe, 0.0)
         return Ab - factors[:, None] * Ab[k][None, :]
 
@@ -118,7 +120,7 @@ def lu_factor(A: jnp.ndarray):
         pk, pp = perm[k], perm[p]
         perm = perm.at[k].set(pp).at[p].set(pk)
         pivot = A[k, k]
-        safe = jnp.where(jnp.abs(pivot) > 1e-300, pivot, 1.0)
+        safe = jnp.where(jnp.abs(pivot) > _tiny(A.dtype), pivot, 1.0)
         factors = jnp.where(rows > k, A[:, k] / safe, 0.0)
         upd = (rows[:, None] > k) & (cols[None, :] > k)
         A = jnp.where(upd, A - factors[:, None] * A[k][None, :], A)
@@ -176,7 +178,7 @@ def _eigvals_sym3(A):
     q = jnp.trace(A) / 3.0
     B = A - q * jnp.eye(3, dtype=A.dtype)
     p2 = jnp.sum(B * B) / 6.0
-    p = jnp.sqrt(jnp.maximum(p2, 1e-300))
+    p = jnp.sqrt(jnp.maximum(p2, _tiny(p2.dtype)))
     detB = (
         B[0, 0] * (B[1, 1] * B[2, 2] - B[1, 2] * B[2, 1])
         - B[0, 1] * (B[1, 0] * B[2, 2] - B[1, 2] * B[2, 0])
@@ -188,11 +190,11 @@ def _eigvals_sym3(A):
     e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
     e2 = 3.0 * q - e1 - e3
     # degenerate (p ~ 0): all eigenvalues equal q
-    tiny = p2 < 1e-280
+    is_degen = p2 < _degen(p2.dtype)
     return (
-        jnp.where(tiny, q, e3),
-        jnp.where(tiny, q, e2),
-        jnp.where(tiny, q, e1),
+        jnp.where(is_degen, q, e3),
+        jnp.where(is_degen, q, e2),
+        jnp.where(is_degen, q, e1),
     )  # ascending
 
 
@@ -207,7 +209,11 @@ def _eigvec_for(A, lam, fallback):
         (n0 >= n1) & (n0 >= n2), c0, jnp.where(n1 >= n2, c1, c2)
     )
     nbest = jnp.maximum(n0, jnp.maximum(n1, n2))
-    v = jnp.where(nbest > 1e-280, best / jnp.sqrt(jnp.maximum(nbest, 1e-300)), fallback)
+    v = jnp.where(
+        nbest > _degen(A.dtype),
+        best / jnp.sqrt(jnp.maximum(nbest, _tiny(A.dtype))),
+        fallback,
+    )
     return v
 
 
@@ -228,7 +234,9 @@ def eigh_3x3(A: jnp.ndarray):
     # middle vector: orthogonal completion (robust against near-degenerate pairs)
     v1 = jnp.cross(v2, v0)
     n1 = jnp.linalg.norm(v1)
-    v1 = jnp.where(n1 > 1e-280, v1 / jnp.maximum(n1, 1e-300), _eigvec_for(A, l1, f0))
+    v1 = jnp.where(
+        n1 > _degen(A.dtype), v1 / jnp.maximum(n1, _tiny(A.dtype)), _eigvec_for(A, l1, f0)
+    )
     return jnp.stack([l0, l1, l2]), jnp.stack([v0, v1, v2], axis=1)
 
 
@@ -244,7 +252,7 @@ def gj_inverse(A: jnp.ndarray) -> jnp.ndarray:
         rk, rp = Ab[k], Ab[p]
         Ab = Ab.at[k].set(rp).at[p].set(rk)
         pivot = Ab[k, k]
-        safe = jnp.where(jnp.abs(pivot) > 1e-300, pivot, 1.0)
+        safe = jnp.where(jnp.abs(pivot) > _tiny(Ab.dtype), pivot, 1.0)
         row_k = Ab[k] / safe
         factors = Ab[:, k].at[k].set(0.0)
         return (Ab - factors[:, None] * row_k[None, :]).at[k].set(row_k)
@@ -285,17 +293,18 @@ def kabsch(P: jnp.ndarray, Q: jnp.ndarray):
     Q0 = Q - Qc
     H = P0.T @ Q0
     evals, V = eigh_3x3(H.T @ H)  # ascending
-    sig = jnp.sqrt(jnp.maximum(evals, 1e-300))
+    eps = _tiny(H.dtype)
+    sig = jnp.sqrt(jnp.maximum(evals, eps))
     U = (H @ V) / sig[None, :]
     # re-orthonormalize U against near-zero singular values
-    u2 = U[:, 2] / jnp.maximum(jnp.linalg.norm(U[:, 2]), 1e-300)
+    u2 = U[:, 2] / jnp.maximum(jnp.linalg.norm(U[:, 2]), eps)
     u1 = U[:, 1] - jnp.dot(U[:, 1], u2) * u2
-    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-300)
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), eps)
     u0 = jnp.cross(u1, u2)
     U = jnp.stack([u0, u1, u2], axis=1)
     v2 = V[:, 2]
     v1 = V[:, 1] - jnp.dot(V[:, 1], v2) * v2
-    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-300)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), eps)
     v0 = jnp.cross(v1, v2)
     V = jnp.stack([v0, v1, v2], axis=1)
     R = V @ U.T

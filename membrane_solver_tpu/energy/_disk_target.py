@@ -23,6 +23,7 @@ import numpy as np
 
 from membrane_solver_tpu.device import geo as dgeo
 from membrane_solver_tpu.device import linalg as dlinalg
+from membrane_solver_tpu.utils.precision import fmax_tiny as _fmax_tiny
 
 
 def _bessel_i1_series(x, n_terms: int = 30):
@@ -153,7 +154,7 @@ def disk_target_energy(state, topo, params, *, prefix: str, sfx: str, field: str
         jnp.max(jnp.where(good, r_len, 0.0)),
     )
     lam = jnp.asarray(x("lam"), dtype)
-    theta_linear = theta_b * r_len / jnp.maximum(radius, 1e-300)
+    theta_linear = theta_b * r_len / _fmax_tiny(radius)
     den = _bessel_i1_series(lam * radius)
     theta_bessel = theta_b * _bessel_i1_series(lam * r_len) / jnp.where(
         jnp.abs(den) < 1e-15, 1.0, den

@@ -111,3 +111,56 @@ def leaflet_bending_tilt_energy(
     )
 
     return corner + surrogate - jax.lax.stop_gradient(surrogate)
+
+
+def make_leaflet_bending_tilt_frozen(
+    spec, *, leaflet: str, kappa_key: str, div_sign: float, c0_key: str
+):
+    """Frozen split for the inner tilt solve (positions constant).
+
+    The surrogate term of :func:`leaflet_bending_tilt_energy` contributes
+    exactly zero value (it cancels against its own stop_gradient) and zero
+    tilt gradient (its only tilt input is stop-gradiented), so the frozen
+    per-iteration energy is the corner form alone, with every position-only
+    field (base term, effective corner areas, P1 shape gradients) baked once
+    per relax call.  Identical arithmetic to the full path on the
+    tilt-dependent part — values and tilt gradients match exactly.
+    """
+
+    def precompute(state, topo, params):
+        from membrane_solver_tpu.energy.leaflet_presence import present_triangles
+
+        positions = state.positions
+        tri_present = present_triangles(topo, leaflet)
+        base_f, va_eff_f, _a_eff_f, _kappa, _interior = _fields(
+            positions, topo, params, kappa_key, c0_key, tri_present
+        )
+        geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+        g = dgeo.p1_shape_gradients(geo)
+        keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
+        return {
+            "base_c": base_f[topo.tri_rows],
+            "va_eff": va_eff_f,
+            "g": g,
+            "keep": keep,
+        }
+
+    def energy(tin, tout, fr, topo, params):
+        kappa = params.get(kappa_key, params.get("bending_modulus", jnp.asarray(0.0)))
+        tilts = tin if leaflet == "in" else tout
+        g = fr["g"]
+        t0 = tilts[topo.tri_rows[:, 0]]
+        t1 = tilts[topo.tri_rows[:, 1]]
+        t2 = tilts[topo.tri_rows[:, 2]]
+        div = (
+            jnp.sum(t0 * g[:, 0], axis=1)
+            + jnp.sum(t1 * g[:, 1], axis=1)
+            + jnp.sum(t2 * g[:, 2], axis=1)
+        )
+        div = jnp.where(topo.tri_valid, div, 0.0)
+        term_c = fr["base_c"] + (div_sign * div)[:, None]
+        return 0.5 * jnp.sum(
+            jnp.where(fr["keep"], kappa * jnp.sum(term_c**2 * fr["va_eff"], axis=1), 0.0)
+        )
+
+    return precompute, energy

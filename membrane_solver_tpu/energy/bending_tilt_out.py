@@ -22,3 +22,18 @@ def energy(geo, state, topo, params):
         c0_key="spontaneous_curvature_out",
         tri_present=present_triangles(topo, "out"),
     )
+
+
+def make_tilt_frozen(spec):
+    """Frozen-geometry split for the inner tilt solve (positions constant)."""
+    from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+        make_leaflet_bending_tilt_frozen,
+    )
+
+    return make_leaflet_bending_tilt_frozen(
+        spec,
+        leaflet="out",
+        kappa_key="bending_modulus_out",
+        div_sign=1.0,
+        c0_key="spontaneous_curvature_out",
+    )

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from membrane_solver_tpu.constraints import rim_slope_match_out as rim
+from membrane_solver_tpu.utils.precision import fmax_tiny as _fmax_tiny
 
 USES_TILT_LEAFLETS = True
 
@@ -77,7 +78,7 @@ def make_energy(spec):
                 theta_i = jnp.full_like(
                     phi,
                     jnp.sum(jnp.where(dgood, dw * theta_vals, 0.0))
-                    / jnp.maximum(wsum, 1e-300),
+                    / _fmax_tiny(wsum),
                 )
             diff_in = jnp.sum(state.tilts_in[rim_rows] * r_hat, axis=1) - (
                 theta_i - phi

@@ -19,3 +19,10 @@ def energy(geo, state, topo, params):
     return leaflet_energy(
         geo, state.tilts_in, topo, params.get("tilt_modulus_in", jnp.asarray(0.0)), "lumped"
     )
+
+
+def make_tilt_frozen(spec):
+    """Frozen-geometry split for the inner tilt solve (positions constant)."""
+    from membrane_solver_tpu.energy.tilt_leaflet import make_leaflet_tilt_frozen
+
+    return make_leaflet_tilt_frozen(spec, "in")

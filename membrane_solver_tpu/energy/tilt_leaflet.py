@@ -54,3 +54,47 @@ def make_leaflet_energy(spec, leaflet: str):
         )
 
     return fn
+
+
+def make_leaflet_tilt_frozen(spec, leaflet: str):
+    """Frozen split for the inner tilt solve (positions constant).
+
+    precompute() bakes the masked triangle areas once per relax call; the
+    per-iteration energy is then just corner gathers + the quadratic mass
+    form — the identical arithmetic as :func:`leaflet_energy` on frozen
+    positions, so values and tilt gradients match the full path exactly.
+    """
+    mass_mode = spec.option(f"tilt_mass_mode_{leaflet}", spec.option("tilt_mass_mode", "lumped"))
+
+    def precompute(state, topo, params):
+        from membrane_solver_tpu.device import geo as dgeo
+        from membrane_solver_tpu.energy.leaflet_presence import present_triangles
+
+        geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
+        area = geo.area
+        present = present_triangles(topo, leaflet)
+        if present is not None:
+            area = jnp.where(present, area, 0.0)
+        return {"area": area}
+
+    def energy(tin, tout, fr, topo, params):
+        k_tilt = params.get(f"tilt_modulus_{leaflet}", jnp.asarray(0.0))
+        tilts = tin if leaflet == "in" else tout
+        t0 = tilts[topo.tri_rows[:, 0]]
+        t1 = tilts[topo.tri_rows[:, 1]]
+        t2 = tilts[topo.tri_rows[:, 2]]
+        sq = (
+            jnp.sum(t0 * t0, axis=1) + jnp.sum(t1 * t1, axis=1) + jnp.sum(t2 * t2, axis=1)
+        )
+        if mass_mode == "consistent":
+            s = sq + (
+                jnp.sum(t0 * t1, axis=1)
+                + jnp.sum(t1 * t2, axis=1)
+                + jnp.sum(t2 * t0, axis=1)
+            )
+            coeff = (k_tilt / 12.0) * s
+        else:
+            coeff = 0.5 * k_tilt * (sq / 3.0)
+        return jnp.sum(coeff * fr["area"])
+
+    return precompute, energy

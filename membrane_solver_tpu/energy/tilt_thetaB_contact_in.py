@@ -148,6 +148,62 @@ def energy(geo, state, topo, params):
     )
 
 
+def make_tilt_frozen(spec):
+    """Frozen-geometry split for the inner tilt solve (positions constant).
+
+    The ring geometry is position-only (and already stop-gradiented in the
+    full path); only the tilt projections onto r_hat change per iteration.
+    In the default scalar work mode the whole term is constant in the tilts.
+    """
+    penalty = spec.option("tilt_thetaB_contact_penalty_mode", "off").lower() in {
+        "legacy",
+        "on",
+        "true",
+        "1",
+    }
+    work_mode = spec.option("tilt_thetaB_contact_work_mode", "scalar").lower()
+
+    def precompute(state, topo, params):
+        if "energy:tilt_thetaB_contact_in/rows" not in topo.extras:
+            return {}
+        good, weights, r_hat, _r_len, wsum, r_eff = ring_geometry(
+            jax.lax.stop_gradient(state.positions), topo, params
+        )
+        return {
+            "good": good,
+            "weights": weights,
+            "r_hat": r_hat,
+            "wsum": wsum,
+            "r_eff": r_eff,
+        }
+
+    def energy_fn(tin, tout, fr, topo, params):
+        dtype = tin.dtype
+        if not fr:
+            return jnp.asarray(0.0, dtype)
+        gamma = params.get("tilt_thetaB_contact_strength_in", jnp.asarray(0.0))
+        k = params.get("tilt_thetaB_strength_in", jnp.asarray(0.0))
+        theta_B = params.get("tilt_thetaB_value", jnp.asarray(0.0))
+        rows = topo.extras["energy:tilt_thetaB_contact_in/rows"]
+        E = jnp.asarray(0.0, dtype)
+        theta_vals = jnp.sum(tin[rows] * fr["r_hat"], axis=1)
+        if work_mode == "field_linear":
+            theta_contact = jnp.sum(fr["weights"] * theta_vals) / jnp.maximum(
+                fr["wsum"], 1e-12
+            )
+        else:
+            theta_contact = jax.lax.stop_gradient(theta_B)
+        E = E - 2.0 * jnp.pi * fr["r_eff"] * gamma * theta_contact
+        if penalty:
+            diff = theta_vals - theta_B
+            E = E + 0.5 * k * jnp.sum(
+                jnp.where(fr["good"], fr["weights"] * diff * diff, 0.0)
+            )
+        return E
+
+    return precompute, energy_fn
+
+
 def update_scalar_params(mesh, global_params, param_resolver) -> None:
     """Closed-form theta_B update (legacy penalty mode only) — host side.
 

@@ -265,6 +265,60 @@ def jacobi_preconditioner(positions, topo, params):
     )
 
 
+def collect_frozen_tilt_program(spec: ProblemSpec):
+    """Frozen-geometry inner-solve program, or None if unsupported.
+
+    Positions are constant for the whole inner tilt solve, so every
+    position-only field (triangle areas, curvature data, P1 gradients, ring
+    directions, matching payloads) can be computed ONCE per relax call and
+    the per-iteration graph shrinks to the tilt-dependent part — identical
+    arithmetic, so values/gradients match the full path exactly.  Modules
+    opt in via ``make_tilt_frozen`` (energies) / ``make_frozen_enforce_tilts``
+    (constraints); if any active tilt module or tilt enforcer lacks the hook,
+    the relax falls back to the full per-iteration evaluation.
+    """
+    import os
+
+    if os.environ.get("MEMBRANE_SOLVER_FROZEN_TILT", "1") in {"0", "false", "no"}:
+        return None
+
+    from membrane_solver_tpu.constraints import get_constraint
+    from membrane_solver_tpu.runtime.jit_core import active_energy_modules
+
+    e_pre, e_fns = [], []
+    for name in active_energy_modules(spec):
+        module = get_module(name)
+        if not (
+            getattr(module, "USES_TILT", False)
+            or getattr(module, "USES_TILT_LEAFLETS", False)
+        ):
+            continue
+        hook = getattr(module, "make_tilt_frozen", None)
+        if hook is None:
+            return None
+        pre, fn = hook(spec)
+        e_pre.append(pre)
+        e_fns.append(fn)
+
+    c_pre, c_fns = [], []
+    for name in dict.fromkeys(spec.constraint_modules):
+        mod = get_constraint(name)
+        maker = getattr(mod, "make_enforce_tilts", None)
+        full = maker(spec) if maker is not None else getattr(mod, "enforce_tilts", None)
+        if full is None:
+            continue  # module contributes no tilt enforcement
+        fhook = getattr(mod, "make_frozen_enforce_tilts", None)
+        if fhook is None:
+            return None
+        out = fhook(spec)
+        if out is None:
+            continue
+        pre, fn = out
+        c_pre.append(pre)
+        c_fns.append(fn)
+    return e_pre, e_fns, c_pre, c_fns
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TiltRelaxStats:
@@ -296,6 +350,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
     # site in the inner loop (grad eval + backtracking trials)
     energy_of = jax.jit(energy_of)
     grad_fn = jax.jit(jax.value_and_grad(energy_of, argnums=(0, 1)))
+    frozen_prog = collect_frozen_tilt_program(spec)
 
     def relax(state: MeshState, topo: Topology, params: Dict, max_iters, step_size, tol):
         dtype = state.positions.dtype
@@ -339,10 +394,46 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         else:
             tangent_in = tangent_out = tangent_plain
 
+        # frozen-geometry program: position-only fields computed once per
+        # relax call; the per-iteration graph is only the tilt-dependent part
+        if frozen_prog is not None:
+            e_pre, e_fns, c_pre, c_fns = frozen_prog
+            e_frozen = [p(state, topo, params) for p in e_pre]
+            c_frozen = [p(state, topo, params) for p in c_pre]
+
+            def energy_pair(t_in, t_out):
+                e = jnp.asarray(0.0, dtype)
+                for fn, f in zip(e_fns, e_frozen):
+                    e = e + fn(t_in, t_out, f, topo, params)
+                return e
+
+            vg_pair = jax.value_and_grad(energy_pair, argnums=(0, 1))
+
+            def enforce_pair(t_in, t_out):
+                for fn, f in zip(c_fns, c_frozen):
+                    t_in, t_out = fn(t_in, t_out, f, topo, params)
+                return t_in, t_out
+
+        else:
+
+            def energy_pair(t_in, t_out):
+                return energy_of(t_in, t_out, state, topo, params)
+
+            def vg_pair(t_in, t_out):
+                return grad_fn(t_in, t_out, state, topo, params)
+
+            def enforce_pair(t_in, t_out):
+                st = tilt_enforce(
+                    dataclasses.replace(state, tilts_in=t_in, tilts_out=t_out),
+                    topo,
+                    params,
+                )
+                return st.tilts_in, st.tilts_out
+
         # 1. enforce tilt constraints + tangent-project (+ optional axisym)
-        state = tilt_enforce(state, topo, params)
-        tin = tangent_in(state.tilts_in)
-        tout = tangent_out(state.tilts_out)
+        tin, tout = enforce_pair(state.tilts_in, state.tilts_out)
+        tin = tangent_in(tin)
+        tout = tangent_out(tout)
         fixed_vals_in = tin
         fixed_vals_out = tout
 
@@ -357,7 +448,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             projector = make_tilt_projector(rows)
 
         def eval_grads(tin, tout, st):
-            E, (gin, gout) = grad_fn(tin, tout, st, topo, params)
+            E, (gin, gout) = vg_pair(tin, tout)
             gin, gout = projector(gin, gout)
             gin = jnp.where(fixed_in[:, None], 0.0, gin)
             gout = jnp.where(fixed_out[:, None], 0.0, gout)
@@ -383,7 +474,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             def body(carry):
                 step, bt, done, acc_in, acc_out, acc_E, accepted = carry
                 trial_in, trial_out = build_trial(tin, tout, step * dir_in, step * dir_out)
-                E1 = energy_of(trial_in, trial_out, state, topo, params)
+                E1 = energy_pair(trial_in, trial_out)
                 accept = E1 <= E0
                 new_step = jnp.where(accept, step, step * 0.5)
                 new_done = accept | (new_step < STEP_FLOOR) | (bt + 1 >= MAX_BACKTRACKS)
@@ -423,14 +514,10 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
                 accepted, new_in, new_out, E1 = backtrack(tin, tout, -gin, -gout, E0)
                 take = accepted & ~conv
-                ref_st = tilt_enforce(
-                    dataclasses.replace(state, tilts_in=new_in, tilts_out=new_out),
-                    topo,
-                    params,
-                )
+                enf_in, enf_out = enforce_pair(new_in, new_out)
                 return (
-                    jnp.where(take, tangent_in(ref_st.tilts_in), tin),
-                    jnp.where(take, tangent_out(ref_st.tilts_out), tout),
+                    jnp.where(take, tangent_in(enf_in), tin),
+                    jnp.where(take, tangent_out(enf_out), tout),
                     i + 1,
                     done | conv | ~accepted,
                     nacc + take.astype(jnp.int32),
@@ -489,13 +576,9 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                     )
                 take = accepted & ~conv
                 # per-accepted-step constraint refresh + tangent projection
-                ref_st = tilt_enforce(
-                    dataclasses.replace(state, tilts_in=new_in, tilts_out=new_out),
-                    topo,
-                    params,
-                )
-                new_in2 = jnp.where(take, tangent_in(ref_st.tilts_in), tin)
-                new_out2 = jnp.where(take, tangent_out(ref_st.tilts_out), tout)
+                enf_in, enf_out = enforce_pair(new_in, new_out)
+                new_in2 = jnp.where(take, tangent_in(enf_in), tin)
+                new_out2 = jnp.where(take, tangent_out(enf_out), tout)
                 E2, gin2, gout2, gnorm2 = eval_grads(new_in2, new_out2, state)
                 r_in, r_out = -gin2, -gout2
                 z_in = r_in * m_in[:, None]
