@@ -500,15 +500,19 @@ def make_tilt_constraint_rows(spec):
 
 def make_compact_tilt_rows(spec):
     """Compact tilt rows: out rows touch one (rim, out) slot; in rows touch
-    (rim, in) plus the paired (disk, in) slot.  Only representable in the
-    local-disk mode — the shared-mean-field mode makes in rows dense, so
-    this returns None there and the relax falls back to the dense KKT."""
+    (rim, in) plus the paired (disk, in) slot (local-disk mode), or
+    (rim, in) plus a rank-1 background — the arc-length-mean disk field
+    shared by every in row — in the shared-mean-field mode.  The rank-1
+    extension keeps the whole KKT projection in O(k s + Nv) per iteration
+    instead of the O(k Nv) dense matvecs the mean-field coupling would
+    otherwise force."""
     flags = _spec_flags(spec)
     if flags is None:
-        return None
+        # inactive on this lane: contribute no rows (returning None here
+        # would wrongly mark the module "not compact-representable" and
+        # force every OTHER module's rows onto the dense fallback)
+        return lambda state, topo, params: None
     has_disk, interp_outer, local_disk, _theta_is_param = flags
-    if has_disk and not local_disk:
-        return None
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
@@ -537,20 +541,46 @@ def make_compact_tilt_rows(spec):
         if not has_disk:
             return out_vals, out_rows, out_leaf
 
-        disk, dgood, disk_r_hat, _dw = _disk_geometry(positions, topo, dtype)
-        in_vals = jnp.stack(
-            [
-                coeff[:, None] * r_dir,
-                jnp.where(dgood[:, None], -coeff[:, None] * disk_r_hat, 0.0),
-            ],
-            axis=1,
+        disk, dgood, disk_r_hat, dw = _disk_geometry(positions, topo, dtype)
+        if local_disk:
+            in_vals = jnp.stack(
+                [
+                    coeff[:, None] * r_dir,
+                    jnp.where(dgood[:, None], -coeff[:, None] * disk_r_hat, 0.0),
+                ],
+                axis=1,
+            )
+            in_rows = jnp.stack([safe_rim, jnp.where(dgood, disk, 0)], axis=1)
+            in_leaf = jnp.zeros(in_rows.shape, jnp.int32)  # inner leaflet
+            return (
+                jnp.concatenate([out_vals, in_vals], axis=0),
+                jnp.concatenate([out_rows, in_rows], axis=0),
+                jnp.concatenate([out_leaf, in_leaf], axis=0),
+            )
+
+        # shared-mean-field mode: row_i = slot_i + bg_coeff_i * bg_field with
+        # the background the (leaflet-in) arc-length-mean disk direction
+        # field — identical arithmetic to the dense form's `shared` term
+        wsum = jnp.sum(jnp.where(dgood, dw, 0.0))
+        mean_dirs = (dw / _fmax_tiny(wsum))[:, None] * disk_r_hat
+        shared_in = jnp.zeros((n_rows, 3), dtype).at[disk].add(
+            jnp.where(dgood[:, None], mean_dirs, 0.0)
         )
-        in_rows = jnp.stack([safe_rim, jnp.where(dgood, disk, 0)], axis=1)
-        in_leaf = jnp.zeros(in_rows.shape, jnp.int32)  # inner leaflet
+        bg_field = jnp.stack([shared_in, jnp.zeros((n_rows, 3), dtype)])  # (2, Nv, 3)
+        in_vals = (coeff[:, None] * r_dir)[:, None, :]  # (k, 1, 3)
+        in_rows = safe_rim[:, None]
+        in_leaf = jnp.zeros(in_rows.shape, jnp.int32)
+        out_vals1 = out_vals[:, :1]
+        out_rows1 = out_rows[:, :1]
+        out_leaf1 = out_leaf[:, :1]
+        k = rim.shape[0]
+        bg_coeff = jnp.concatenate([jnp.zeros((k,), dtype), -coeff])
         return (
-            jnp.concatenate([out_vals, in_vals], axis=0),
-            jnp.concatenate([out_rows, in_rows], axis=0),
-            jnp.concatenate([out_leaf, in_leaf], axis=0),
+            jnp.concatenate([out_vals1, in_vals], axis=0),
+            jnp.concatenate([out_rows1, in_rows], axis=0),
+            jnp.concatenate([out_leaf1, in_leaf], axis=0),
+            bg_coeff,
+            bg_field,
         )
 
     return fn
@@ -588,10 +618,19 @@ def make_constraint_gradient_rows(spec):
             .at[idx, outer[idx1]]
             .add(-(coeff * w1)[:, None] * nvec)
         )
-        if not has_disk:
-            return g_out
-        g_in = -g_out
-        return jnp.concatenate([g_out, g_in], axis=0)
+        # Deliberate divergence from the reference: with a disk group the
+        # reference ALSO stacks the in-condition rows, which are the EXACT
+        # negations of the out rows (rim_slope_match_gradients.py:374-390,
+        # vecs_in = -vecs_out).  That makes its joint KKT normal matrix
+        # exactly singular; LAPACK then either flags it (projection skipped,
+        # constraint_projection.py:126-128) or — depending on rounding —
+        # returns unusably large multipliers that corrupt the projected
+        # gradient and reject every line-search trial.  The negated rows
+        # span the same constraint space, so we keep only the out rows:
+        # identical feasible projection, well-conditioned system.  See
+        # tools/ref_singular_kkt_repro.py for the recorded reference
+        # behavior this replaces.
+        return g_out
 
     return fn
 
@@ -637,11 +676,8 @@ def make_compact_constraint_rows(spec):
         slot_rows = jnp.where(
             jnp.broadcast_to(valid[:, None], slot_rows.shape), slot_rows, n_rows - 1
         )
-        if not has_disk:
-            return slot_vals, slot_rows
-        return (
-            jnp.concatenate([slot_vals, -slot_vals], axis=0),
-            jnp.concatenate([slot_rows, slot_rows], axis=0),
-        )
+        # in-condition rows are exact negations of the out rows and are
+        # dropped (span-preserving; see make_constraint_gradient_rows)
+        return slot_vals, slot_rows
 
     return fn

@@ -375,7 +375,13 @@ def kozlov_1disk(disk_radius: float = 1.0, outer_radius: float = 12.0,
           tilt_in=[0.0, 0.0], tilt_out=[0.0, 0.0])
     for k in range(1, n_disk_rings):  # interior disk rings
         for vid in rings[k]:
-            b.tag(vid, preset="disk")
+            # the FIRST interior ring carries the rim-matching disk group
+            # (reference fixture: rim_slope_match_group "disk" tags only the
+            # innermost disk ring, bench_kozlov_..._R12.yaml vertices)
+            if k == 1:
+                b.tag(vid, preset="disk", rim_slope_match_group="disk")
+            else:
+                b.tag(vid, preset="disk")
     for vid in rings[n_disk_rings]:  # the disk boundary = rim ring
         b.tag(vid, preset="rim")
     for vid in rings[n_disk_rings + 1]:  # first membrane ring outside the rim
@@ -396,7 +402,11 @@ def kozlov_1disk(disk_radius: float = 1.0, outer_radius: float = 12.0,
             "pin_to_circle_mode": "fixed",
             "rim_slope_match_group": "rim",
         },
-        "outer": {"rim_slope_match_outer_group": "outer"},
+        # members of the outer matching ring are selected by
+        # rim_slope_match_group == <outer_group> (reference
+        # rim_slope_match_utils._collect_group_rows matches this key for
+        # every group role)
+        "outer": {"rim_slope_match_group": "outer"},
         "outer_rim": {
             "constraints": ["pin_to_circle"],
             "pin_to_circle_group": "outer_rim",

@@ -158,26 +158,30 @@ def project_gradient_kkt(grad: jnp.ndarray, constraint_grads) -> jnp.ndarray:
         return (flatg - lam * gC).reshape(grad.shape)
     A = G @ G.T + 1e-18 * jnp.eye(k, dtype=grad.dtype)
     b = G @ flatg
-    # Solve the 1e-18-regularized normal equations directly, like the
-    # reference's Cholesky/solve (_solve_kkt_system).  Near-null constraint
-    # directions (duplicated/negated rows) then still project with
-    # sigma^2/(sigma^2 + 1e-18) weighting — an SVD least-squares with an
-    # rcond cutoff would drop them and produce a different projection.
-    # solve_spd (explicit elimination) lowers on TPU in f64, unlike LU.
-    lam = dlinalg.solve_spd(A, b)
-    # rescue path: EXACTLY duplicated rows make A_ii = x + 1e-18 round back
-    # to x, so A is singular in f64 and LU yields non-finite multipliers
-    # (the reference shares this failure mode).  Re-solve with a
-    # scale-aware ridge only when that happens — the happy path is
-    # untouched, preserving bit parity with the reference lanes.
-    def rescue(_):
-        ridge = 1e-12 * (jnp.trace(A) / k + 1.0)
-        return dlinalg.solve_spd(A + ridge * jnp.eye(k, dtype=grad.dtype), b)
-
-    lam = jax.lax.cond(
-        jnp.all(jnp.isfinite(lam)), lambda _: lam, rescue, None
-    )
+    lam = _solve_kkt_with_rescue(A, b, k)
     return (flatg - lam @ G).reshape(grad.shape)
+
+
+def _solve_kkt_with_rescue(A: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Solve the (already 1e-18-regularized) KKT normal equations.
+
+    Solving directly matches the reference's _solve_kkt_system: near-null
+    constraint directions (duplicated/negated rows) still project with
+    sigma^2/(sigma^2 + 1e-18) weighting — an SVD least-squares with an
+    rcond cutoff would drop them and produce a different projection.
+    solve_spd (explicit elimination) lowers on TPU in f64, unlike LU.
+
+    Singular systems: EXACTLY duplicated/negated rows (e.g. the rim
+    matching out/in shape-row pairs) make A_ii = x + 1e-18 round back to
+    x, so A is singular in f64 and the solve yields non-finite
+    multipliers.  The reference's _solve_kkt_system returns None there and
+    the projection is SKIPPED for that step
+    (runtime/constraint_projection.py:57-67, 126-128); mirror that exactly
+    by zeroing the multipliers — a ridge re-solve would instead descend
+    along a trajectory the reference never takes.
+    """
+    lam = dlinalg.solve_spd(A, b)
+    return jnp.where(jnp.all(jnp.isfinite(lam)), lam, jnp.zeros_like(lam))
 
 
 def orthonormalize_local_normals(normals: jnp.ndarray) -> jnp.ndarray:
@@ -314,7 +318,7 @@ def make_gradient_projector(spec: ProblemSpec) -> Callable | None:
 
         if dense_rows is None:
             A = A_cc + 1e-18 * jnp.eye(kc, dtype=grad.dtype)
-            lam = dlinalg.solve_spd(A, b_c)
+            lam = _solve_kkt_with_rescue(A, b_c, kc)
             corr = jnp.zeros_like(grad).at[rows_c].add(lam[:, None, None] * vals)
             return grad - corr
 
@@ -326,7 +330,7 @@ def make_gradient_projector(spec: ProblemSpec) -> Callable | None:
             kc + kd, dtype=grad.dtype
         )
         b = jnp.concatenate([b_c, Gd @ grad.reshape(-1)])
-        lam = dlinalg.solve_spd(A, b)
+        lam = _solve_kkt_with_rescue(A, b, kc + kd)
         corr = jnp.zeros_like(grad).at[rows_c].add(lam[:kc, None, None] * vals)
         corr = corr + (lam[kc:] @ Gd).reshape(grad.shape)
         return grad - corr
@@ -425,53 +429,106 @@ def armijo_line_search(
     def trial_of(alpha):
         return jnp.where(movable[:, None], positions + alpha * direction, positions)
 
-    def cond(carry):
-        k, alpha, done, success, _, _ = carry
-        return (~done) & (k < LS_MAX_ITER)
-
-    def body(carry):
-        k, alpha, done, success, acc_E, acc_alpha = carry
-        trial = trial_of(alpha)
-        is_safe_small = (alpha * max_dir_norm) < safe_limit
-        normals_ok = is_safe_small | dgeo.check_normal_rotation(
-            positions, trial, topo.tri_rows, topo.tri_valid, NORMAL_LIMIT_RADIANS
-        )
-
-        def eval_and_decide(_):
-            E_t = energy_of_state(state_of_trial(trial))
-            accept = E_t <= energy0 + LS_C * alpha * g_dot_d
-            return accept, E_t
-
-        accept, E_t = jax.lax.cond(
-            normals_ok,
-            eval_and_decide,
-            lambda _: (jnp.asarray(False), jnp.asarray(jnp.inf, dtype)),
-            None,
-        )
-
-        new_alpha = jnp.where(accept, alpha, alpha * LS_BETA)
-        new_done = accept | (new_alpha < LS_ALPHA_FLOOR)
-        return (
-            k + 1,
-            new_alpha,
-            new_done,
-            success | accept,
-            jnp.where(accept, E_t, acc_E),
-            jnp.where(accept, alpha, acc_alpha),
-        )
-
     # Non-descent direction: skip the search entirely (line_search.py:319-322).
     descent = g_dot_d < 0.0
-    init = (
-        jnp.asarray(0),
-        alpha0,
-        ~descent,  # done immediately when not a descent direction
-        jnp.asarray(False),
-        energy0,
-        jnp.asarray(0.0, dtype),
-    )
-    k, alpha, done, success, acc_E, acc_alpha = jax.lax.while_loop(cond, body, init)
-    success = success & descent
+
+    from membrane_solver_tpu.utils.tuning import batched_line_search
+
+    if batched_line_search():
+        # Batched form: identical decisions to the sequential loop.  The
+        # candidate alphas are the exact sequential-multiply chain (same f64
+        # rounding as alpha *= BETA), candidate 0 is evaluated alone (the
+        # common immediate-accept case), and the tail candidates are one
+        # vmapped evaluation entered only on rejection — collapsing the
+        # latency-bound chain of up to LS_MAX_ITER dependent kernels.
+        chain = [alpha0]
+        for _ in range(LS_MAX_ITER - 1):
+            chain.append(chain[-1] * LS_BETA)
+        alphas = jnp.stack(chain)  # (LS_MAX_ITER,)
+        # candidate k (k>0) is reached iff alpha_k = alpha_{k-1}*BETA >= floor
+        reachable = (alphas >= LS_ALPHA_FLOOR).at[0].set(True)
+
+        def eval_candidate(alpha):
+            trial = trial_of(alpha)
+            is_safe_small = (alpha * max_dir_norm) < safe_limit
+            normals_ok = is_safe_small | dgeo.check_normal_rotation(
+                positions, trial, topo.tri_rows, topo.tri_valid, NORMAL_LIMIT_RADIANS
+            )
+            E_t = energy_of_state(state_of_trial(trial))
+            E_t = jnp.where(normals_ok, E_t, jnp.asarray(jnp.inf, dtype))
+            accept = normals_ok & (E_t <= energy0 + LS_C * alpha * g_dot_d)
+            return accept, E_t
+
+        accept0, E0_t = eval_candidate(alpha0)
+
+        def tail(_):
+            acc, Es = jax.vmap(eval_candidate)(alphas[1:])
+            acc = acc & reachable[1:]
+            hit = jnp.any(acc)
+            idx = jnp.argmax(acc)
+            return hit, alphas[1:][idx], Es[idx]
+
+        def first_only(_):
+            return accept0, alpha0, E0_t
+
+        success, acc_alpha, acc_E = jax.lax.cond(
+            accept0 | ~descent, first_only, tail, None
+        )
+        success = success & descent
+        acc_alpha = jnp.where(success, acc_alpha, jnp.asarray(0.0, dtype))
+        acc_E = jnp.where(success, acc_E, energy0)
+        # the sequential loop's final carried alpha: the accepted alpha on
+        # success; the last evaluated candidate times BETA on failure
+        k_last = jnp.maximum(jnp.sum(reachable.astype(jnp.int32)) - 1, 0)
+        alpha = jnp.where(success, acc_alpha, alphas[k_last] * LS_BETA)
+        alpha = jnp.where(descent, alpha, alpha0)
+    else:
+
+        def cond(carry):
+            k, alpha, done, success, _, _ = carry
+            return (~done) & (k < LS_MAX_ITER)
+
+        def body(carry):
+            k, alpha, done, success, acc_E, acc_alpha = carry
+            trial = trial_of(alpha)
+            is_safe_small = (alpha * max_dir_norm) < safe_limit
+            normals_ok = is_safe_small | dgeo.check_normal_rotation(
+                positions, trial, topo.tri_rows, topo.tri_valid, NORMAL_LIMIT_RADIANS
+            )
+
+            def eval_and_decide(_):
+                E_t = energy_of_state(state_of_trial(trial))
+                accept = E_t <= energy0 + LS_C * alpha * g_dot_d
+                return accept, E_t
+
+            accept, E_t = jax.lax.cond(
+                normals_ok,
+                eval_and_decide,
+                lambda _: (jnp.asarray(False), jnp.asarray(jnp.inf, dtype)),
+                None,
+            )
+
+            new_alpha = jnp.where(accept, alpha, alpha * LS_BETA)
+            new_done = accept | (new_alpha < LS_ALPHA_FLOOR)
+            return (
+                k + 1,
+                new_alpha,
+                new_done,
+                success | accept,
+                jnp.where(accept, E_t, acc_E),
+                jnp.where(accept, alpha, acc_alpha),
+            )
+
+        init = (
+            jnp.asarray(0),
+            alpha0,
+            ~descent,  # done immediately when not a descent direction
+            jnp.asarray(False),
+            energy0,
+            jnp.asarray(0.0, dtype),
+        )
+        k, alpha, done, success, acc_E, acc_alpha = jax.lax.while_loop(cond, body, init)
+        success = success & descent
 
     accepted_state = state_of_trial(trial_of(acc_alpha))
     final_state = jax.tree_util.tree_map(

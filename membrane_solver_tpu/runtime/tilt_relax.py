@@ -176,17 +176,36 @@ def make_compact_tilt_collector(spec: ProblemSpec):
         return None
 
     def collect(state, topo, params):
-        blocks = [b for b in (fn(state, topo, params) for fn in builders) if b is not None]
-        if not blocks:
+        raw = [b for b in (fn(state, topo, params) for fn in builders) if b is not None]
+        if not raw:
             return None
+        # normalize: modules return (vals, rows, leaf) or, with a rank-1
+        # background component, (vals, rows, leaf, bg_coeff, bg_field)
+        blocks = []
+        for b in raw:
+            if len(b) == 3:
+                blocks.append((b[0], b[1], b[2], None, None))
+            else:
+                blocks.append(tuple(b))
         s_max = max(b[0].shape[1] for b in blocks)
         vs, rs, ls = [], [], []
-        for v, r, lf in blocks:
+        bgs = []
+        offset = 0
+        k_total = sum(b[0].shape[0] for b in blocks)
+        for v, r, lf, bgc, bgf in blocks:
             if v.shape[1] < s_max:
                 pad = s_max - v.shape[1]
                 v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
                 r = jnp.pad(r, ((0, 0), (0, pad)))
                 lf = jnp.pad(lf, ((0, 0), (0, pad)))
+            if bgc is not None:
+                c_full = (
+                    jnp.zeros((k_total,), v.dtype)
+                    .at[offset : offset + v.shape[0]]
+                    .set(bgc)
+                )
+                bgs.append((c_full, bgf))
+            offset += v.shape[0]
             vs.append(v)
             rs.append(r)
             ls.append(lf)
@@ -194,6 +213,7 @@ def make_compact_tilt_collector(spec: ProblemSpec):
             jnp.concatenate(vs, axis=0),
             jnp.concatenate(rs, axis=0),
             jnp.concatenate(ls, axis=0),
+            tuple(bgs),
         )
 
     return collect
@@ -202,29 +222,46 @@ def make_compact_tilt_collector(spec: ProblemSpec):
 def make_compact_tilt_projector(compact):
     """KKT projector over (in, out) tilt DOFs from compact slot rows.
 
-    compact: (values (k, s, 3), rows (k, s), leaflet (k, s) 0=in/1=out).
-    The normal-equation matrix is assembled from slots — rows interact only
-    where a slot vertex AND leaflet agree — factored once per relax call;
-    each iteration pays O(k s) gathers/scatters instead of O(k Nv) matvecs.
-    Identical projection to the dense form (up to summation order).
+    compact: (values (k, s, 3), rows (k, s), leaflet (k, s) 0=in/1=out,
+    backgrounds).  Each row is the slot scatter plus, optionally, a rank-1
+    background ``bg_coeff[i] * bg_field`` shared across rows (the
+    mean-field disk coupling of rim matching).  The normal-equation matrix
+    is assembled from slots — rows interact only where a slot vertex AND
+    leaflet agree — plus the low-rank background cross terms, factored once
+    per relax call; each iteration pays O(k s + Nv) gathers/scatters
+    instead of O(k Nv) dense matvecs.  Identical projection to the dense
+    form (up to summation order).
     """
     if compact is None:
         return lambda gin, gout: (gin, gout)
-    vals, rows, leaf = compact
+    vals, rows, leaf, *rest = compact
+    bgs = rest[0] if rest else ()
     k = vals.shape[0]
     eq = (
         (rows[:, None, :, None] == rows[None, :, None, :])
         & (leaf[:, None, :, None] == leaf[None, :, None, :])
     ).astype(vals.dtype)
     dots = jnp.einsum("iac,jbc->ijab", vals, vals)
-    A = jnp.sum(dots * eq, axis=(2, 3)) + 1e-18 * jnp.eye(k, dtype=vals.dtype)
+    A = jnp.sum(dots * eq, axis=(2, 3))
+    for c, f in bgs:
+        fb = f[leaf, rows]  # (k, s, 3) background gathered at the slots
+        s_vec = jnp.einsum("iac,iac->i", vals, fb)
+        A = A + c[:, None] * s_vec[None, :] + s_vec[:, None] * c[None, :]
+    for c1, f1 in bgs:
+        for c2, f2 in bgs:
+            A = A + jnp.sum(f1 * f2) * (c1[:, None] * c2[None, :])
+    A = A + 1e-18 * jnp.eye(k, dtype=vals.dtype)
     solver = dlinalg.make_dense_solver(A)
 
     def project(gin, gout):
         g2 = jnp.stack([gin, gout])  # (2, Nv, 3)
         b = jnp.einsum("iac,iac->i", vals, g2[leaf, rows])
+        for c, f in bgs:
+            b = b + c * jnp.sum(f * g2)
         lam = solver(b)
         corr = jnp.zeros_like(g2).at[leaf, rows].add(lam[:, None, None] * vals)
+        for c, f in bgs:
+            corr = corr + jnp.dot(lam, c) * f
         return gin - corr[0], gout - corr[1]
 
     return project
@@ -468,43 +505,85 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             trial_out = jnp.where(fixed_out[:, None], fixed_vals_out, trial_out)
             return trial_in, trial_out
 
-        def backtrack(tin, tout, dir_in, dir_out, E0):
-            """12-halving backtracking accept-if-not-worse (tilt_relaxation.py:930-975)."""
+        from membrane_solver_tpu.utils.tuning import batched_line_search
 
-            def body(carry):
-                step, bt, done, acc_in, acc_out, acc_E, accepted = carry
-                trial_in, trial_out = build_trial(tin, tout, step * dir_in, step * dir_out)
-                E1 = energy_pair(trial_in, trial_out)
-                accept = E1 <= E0
-                new_step = jnp.where(accept, step, step * 0.5)
-                new_done = accept | (new_step < STEP_FLOOR) | (bt + 1 >= MAX_BACKTRACKS)
-                return (
-                    new_step,
-                    bt + 1,
-                    new_done,
-                    jnp.where(accept, trial_in, acc_in),
-                    jnp.where(accept, trial_out, acc_out),
-                    jnp.where(accept, E1, acc_E),
-                    accepted | accept,
+        if batched_line_search():
+
+            def backtrack(tin, tout, dir_in, dir_out, E0):
+                """Batched form of the 12-halving backtracking: identical
+                decisions (first candidate with E1 <= E0 wins; halving is
+                exact in binary so the candidate chain matches the
+                sequential step *= 0.5 bit-for-bit).  Candidate 0 is
+                evaluated alone (the common immediate accept); the tail runs
+                as one vmapped evaluation only on rejection."""
+                steps = step_size * (0.5 ** jnp.arange(MAX_BACKTRACKS, dtype=E0.dtype))
+                # candidate k (k>0) is reached iff step_{k} >= STEP_FLOOR
+                reachable = (steps >= STEP_FLOOR).at[0].set(True)
+
+                def energy_at(step):
+                    trial_in, trial_out = build_trial(
+                        tin, tout, step * dir_in, step * dir_out
+                    )
+                    return energy_pair(trial_in, trial_out)
+
+                E_first = energy_at(steps[0])
+                accept0 = E_first <= E0
+
+                def tail(_):
+                    Es = jax.vmap(energy_at)(steps[1:])
+                    acc = (Es <= E0) & reachable[1:]
+                    hit = jnp.any(acc)
+                    idx = jnp.argmax(acc)
+                    return hit, steps[1:][idx], Es[idx]
+
+                def first_only(_):
+                    return accept0, steps[0], E_first
+
+                accepted, step, E1 = jax.lax.cond(accept0, first_only, tail, None)
+                acc_in, acc_out = build_trial(tin, tout, step * dir_in, step * dir_out)
+                acc_in = jnp.where(accepted, acc_in, tin)
+                acc_out = jnp.where(accepted, acc_out, tout)
+                return accepted, acc_in, acc_out, jnp.where(accepted, E1, E0)
+
+        else:
+
+            def backtrack(tin, tout, dir_in, dir_out, E0):
+                """12-halving backtracking accept-if-not-worse (tilt_relaxation.py:930-975)."""
+
+                def body(carry):
+                    step, bt, done, acc_in, acc_out, acc_E, accepted = carry
+                    trial_in, trial_out = build_trial(tin, tout, step * dir_in, step * dir_out)
+                    E1 = energy_pair(trial_in, trial_out)
+                    accept = E1 <= E0
+                    new_step = jnp.where(accept, step, step * 0.5)
+                    new_done = accept | (new_step < STEP_FLOOR) | (bt + 1 >= MAX_BACKTRACKS)
+                    return (
+                        new_step,
+                        bt + 1,
+                        new_done,
+                        jnp.where(accept, trial_in, acc_in),
+                        jnp.where(accept, trial_out, acc_out),
+                        jnp.where(accept, E1, acc_E),
+                        accepted | accept,
+                    )
+
+                def cond(carry):
+                    _step, _bt, done, *_ = carry
+                    return ~done
+
+                init = (
+                    step_size,
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(False),
+                    tin,
+                    tout,
+                    E0,
+                    jnp.asarray(False),
                 )
-
-            def cond(carry):
-                _step, _bt, done, *_ = carry
-                return ~done
-
-            init = (
-                step_size,
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(False),
-                tin,
-                tout,
-                E0,
-                jnp.asarray(False),
-            )
-            _step, _bt, _done, acc_in, acc_out, acc_E, accepted = jax.lax.while_loop(
-                cond, body, init
-            )
-            return accepted, acc_in, acc_out, acc_E
+                _step, _bt, _done, acc_in, acc_out, acc_E, accepted = jax.lax.while_loop(
+                    cond, body, init
+                )
+                return accepted, acc_in, acc_out, acc_E
 
         if solver == "gd":
 
@@ -693,30 +772,59 @@ def make_relax_vertex_tilts(spec: ProblemSpec) -> Callable:
             trial = tangent(base + delta)
             return jnp.where(fixed[:, None], fixed_vals, trial)
 
-        def backtrack(t, direction, E0):
-            def body(carry):
-                step, bt, done, acc, acc_E, accepted = carry
-                trial = build_trial(t, step * direction)
-                E1 = energy_of(trial, state, topo, params)
-                accept = E1 <= E0
-                new_step = jnp.where(accept, step, step * 0.5)
-                new_done = accept | (new_step < STEP_FLOOR) | (bt + 1 >= MAX_BACKTRACKS)
-                return (
-                    new_step,
-                    bt + 1,
-                    new_done,
-                    jnp.where(accept, trial, acc),
-                    jnp.where(accept, E1, acc_E),
-                    accepted | accept,
-                )
+        from membrane_solver_tpu.utils.tuning import batched_line_search
 
-            def cond(carry):
-                _s, _b, done, *_ = carry
-                return ~done
+        if batched_line_search():
 
-            init = (step_size, jnp.asarray(0, jnp.int32), jnp.asarray(False), t, E0, jnp.asarray(False))
-            _s, _b, _d, acc, acc_E, accepted = jax.lax.while_loop(cond, body, init)
-            return accepted, acc, acc_E
+            def backtrack(t, direction, E0):
+                """Batched 12-halving backtracking (see the leaflet variant)."""
+                steps = step_size * (0.5 ** jnp.arange(MAX_BACKTRACKS, dtype=E0.dtype))
+                reachable = (steps >= STEP_FLOOR).at[0].set(True)
+
+                def energy_at(step):
+                    return energy_of(build_trial(t, step * direction), state, topo, params)
+
+                E_first = energy_at(steps[0])
+                accept0 = E_first <= E0
+
+                def tail(_):
+                    Es = jax.vmap(energy_at)(steps[1:])
+                    acc = (Es <= E0) & reachable[1:]
+                    return jnp.any(acc), steps[1:][jnp.argmax(acc)], Es[jnp.argmax(acc)]
+
+                def first_only(_):
+                    return accept0, steps[0], E_first
+
+                accepted, step, E1 = jax.lax.cond(accept0, first_only, tail, None)
+                acc = jnp.where(accepted, build_trial(t, step * direction), t)
+                return accepted, acc, jnp.where(accepted, E1, E0)
+
+        else:
+
+            def backtrack(t, direction, E0):
+                def body(carry):
+                    step, bt, done, acc, acc_E, accepted = carry
+                    trial = build_trial(t, step * direction)
+                    E1 = energy_of(trial, state, topo, params)
+                    accept = E1 <= E0
+                    new_step = jnp.where(accept, step, step * 0.5)
+                    new_done = accept | (new_step < STEP_FLOOR) | (bt + 1 >= MAX_BACKTRACKS)
+                    return (
+                        new_step,
+                        bt + 1,
+                        new_done,
+                        jnp.where(accept, trial, acc),
+                        jnp.where(accept, E1, acc_E),
+                        accepted | accept,
+                    )
+
+                def cond(carry):
+                    _s, _b, done, *_ = carry
+                    return ~done
+
+                init = (step_size, jnp.asarray(0, jnp.int32), jnp.asarray(False), t, E0, jnp.asarray(False))
+                _s, _b, _d, acc, acc_E, accepted = jax.lax.while_loop(cond, body, init)
+                return accepted, acc, acc_E
 
         if solver == "gd":
             def body(carry):

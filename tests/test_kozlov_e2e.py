@@ -1,15 +1,28 @@
 """End-to-end kozlov hard-rim lane: coupled tilt relaxation + shape steps.
 
-Divergence note (documented deliberately): the reference's minimize() on this
-lane descends below the E = 39.4900768958 stall only via a stale-cache
-artifact — after a failed line search its state arrays restore bit-exactly
-(max |delta| ~ 5e-23) yet its internal array-path evaluator then scores the
-same state ~0.019 higher than its clean compute_energy(), and subsequent
-trials "accept" against that polluted threshold.  This solver evaluates one
-consistent energy, so it stalls exactly where the clean energy has no
-accepting Armijo trial; on the full benchmark recipe (g40, refine+smooth,
-g100, refine+smooth, g120) it reaches a ~5.7x LOWER clean final energy than
-the reference (126.50 vs 718.34 recorded 2026-08-16 on this machine).
+Divergence notes (documented deliberately — see tools/ref_kkt_pathology_repro.py
+for the recorded reference-side evidence):
+
+1. Singular shape-KKT stall.  With a disk group, the reference stacks the
+   in-condition shape rows as EXACT negations of the out rows
+   (rim_slope_match_gradients.py:374-390), making its joint KKT normal
+   matrix exactly singular; depending on LAPACK rounding the projection is
+   either skipped or yields enormous multipliers that corrupt the projected
+   gradient, so its line search rejects every trial and the lane stalls at
+   the tilt-relaxed energy E = 39.4900768958.  This solver drops the
+   negated duplicates (span-preserving — the feasible projection is
+   identical) and descends cleanly: E = 38.6819516020 after the same 10
+   steps, still descending (34.487 at 40 steps).
+
+2. Stale-cache descent.  Past its stall the reference descends only via a
+   stale-cache artifact: after a failed line search its state arrays
+   restore bit-exactly (max |delta| ~ 5e-23) yet its internal array-path
+   evaluator then scores the same state ~0.019 higher than its clean
+   compute_energy(), and subsequent trials "accept" against that polluted
+   threshold.  On the full benchmark recipe (g40, refine+smooth, g100,
+   refine+smooth, g120) this solver reaches a far LOWER clean final energy
+   than the reference (126.50 vs 718.34 recorded 2026-08-16, round-1
+   solver; the round-2 projection fix descends at least as low).
 """
 
 from __future__ import annotations
@@ -34,7 +47,7 @@ BENCH_GP = {
 # enforcement (rim tilt matching mutates the rim tilts)
 E0 = 42.20416769404095
 E0_ENFORCED = 42.20858644304159
-E_STALL = 39.490076895813644
+E_10 = 38.68195160202414  # round-2 recorded value (proper rim-row projection)
 
 
 @pytest.fixture(scope="module")
@@ -54,10 +67,10 @@ def test_initial_energy(minimizer):
     assert abs(minimizer.compute_energy() - E0_ENFORCED) < 1e-8
 
 
-def test_minimize10_reaches_tilt_relaxed_stall(minimizer):
+def test_minimize10_descends_past_reference_stall(minimizer):
     minimizer.minimize(10)
     E = minimizer.compute_energy()
-    assert abs(E - E_STALL) < 1e-9
+    assert abs(E - E_10) < 1e-9
 
 
 def test_refine_smooth_stays_finite(minimizer):
