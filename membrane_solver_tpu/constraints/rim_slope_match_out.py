@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,11 +78,26 @@ def _groups(gp):
 
 
 def compile_static(layout):
-    """Hashable mode flags: (active, has_disk, interp_outer, local_disk, theta_is_param)."""
+    """Hashable mode flags:
+    (active, has_disk, interp_outer, local_disk, theta_is_param, staggered).
+
+    ``staggered`` selects the shared_rim_staggered_v1 tilt-target placement:
+    the matching conditions act on the interpolated OUTER-ring rows instead
+    of the rim row (reference rim_slope_match_params.py:
+    _uses_outer_shell_tilt_matching, rim_slope_match_utils.py:16-59).
+    """
     gp = layout.mesh.global_parameters
     mode, group, outer_group, disk_group = _groups(gp)
-    if mode != "pointwise_radial_v1" or group is None or outer_group is None:
+    if (
+        mode not in {"pointwise_radial_v1", "shared_rim_staggered_v1"}
+        or group is None
+        or outer_group is None
+    ):
         return ("inactive",)
+    # degenerate disk==rim group coupling is disabled, as in the reference
+    # (_sanitize_disk_group)
+    if disk_group is not None and str(disk_group) == str(group):
+        disk_group = None
     rim = _group_rows(layout, group)
     outer = _group_rows(layout, outer_group)
     disk = _group_rows(layout, disk_group) if disk_group is not None else []
@@ -93,6 +109,7 @@ def compile_static(layout):
         len(outer) != len(rim),
         bool(disk) and len(disk) == len(rim),
         gp.get("rim_slope_match_thetaB_param") is not None,
+        mode == "shared_rim_staggered_v1",
     )
 
 
@@ -118,11 +135,13 @@ def compile_topology(layout) -> dict:
     normal = np.asarray(gp.get("rim_slope_match_normal") or [0, 0, 1], dtype=float)
     normal /= max(np.linalg.norm(normal), 1e-15)
 
-    if mode != "pointwise_radial_v1":
+    if mode not in {"pointwise_radial_v1", "shared_rim_staggered_v1"}:
         raise NotImplementedError(
             f"rim_slope_match mode {mode!r} is not supported yet "
-            "(pointwise_radial_v1 only)"
+            "(pointwise_radial_v1 and shared_rim_staggered_v1 only)"
         )
+    if disk_group is not None and str(disk_group) == str(group or ""):
+        disk_group = None  # reference _sanitize_disk_group (all non-physical modes)
     empty = {
         "rim": np.zeros(1, dtype=np.int32),
         "outer": np.zeros(1, dtype=np.int32),
@@ -258,6 +277,77 @@ def _tangent_radial(r_hat, vnormals, rows):
     return jnp.where(ok[:, None], r_dir / jnp.maximum(norm, 1e-12)[:, None], 0.0), ok
 
 
+def _staggered_targets(topo, r_hat, vnormals, omap):
+    """Tilt-target slots for shared_rim_staggered_v1.
+
+    Per rim index i the matching conditions act on the interpolated outer
+    rows (outer[idx0], outer[idx1]) with weights (w0, w1); the radial
+    direction is r_hat tangent-projected with the WEIGHT-BLENDED unit normal
+    of those rows (reference rim_slope_match_utils.py:26-59).
+
+    Returns (row0, row1, w0, w1, r_dir, ok, denom) with denom = w0^2 + w1^2.
+    """
+    outer = _x(topo, "outer")
+    idx0, idx1, w0, w1 = omap
+    row0 = outer[idx0]
+    row1 = outer[idx1]
+    n = w0[:, None] * vnormals[row0] + w1[:, None] * vnormals[row1]
+    nn = jnp.linalg.norm(n, axis=1)
+    ok_n = nn > 1e-12
+    n = jnp.where(ok_n[:, None], n / jnp.maximum(nn, 1e-12)[:, None], 0.0)
+    r_dir = r_hat - jnp.sum(r_hat * n, axis=1, keepdims=True) * n
+    rn = jnp.linalg.norm(r_dir, axis=1)
+    ok = ok_n & (rn > 1e-12)
+    r_dir = jnp.where(ok[:, None], r_dir / jnp.maximum(rn, 1e-12)[:, None], 0.0)
+    denom = w0 * w0 + w1 * w1
+    return row0, row1, w0, w1, r_dir, ok, denom
+
+
+def _staggered_apply(tilts, row0, row1, w0, w1, r_dir, delta, denom):
+    """Distribute the per-condition corrections onto the two target slots.
+
+    tilts[row_k] += (delta * w_k / denom) * r_dir, matching the reference's
+    per-condition update (rim_slope_match_out.py:225-240).  Used by the
+    1:1 equal-count pairing, where no two conditions share a target row,
+    so the vectorized scatter equals the reference's sequential loop.
+    """
+    safe = jnp.maximum(denom, 1e-12)
+    upd0 = (delta * w0 / safe)[:, None] * r_dir
+    upd1 = (delta * w1 / safe)[:, None] * r_dir
+    return tilts.at[row0].add(upd0).at[row1].add(jnp.where((w1 != 0.0)[:, None], upd1, 0.0))
+
+
+def _staggered_enforce_field(tilts, row0, row1, w0, w1, r_dir, ok, denom, target, *, sequential):
+    """Enforce Sum_k w_k (t[row_k] . r_dir) = target per condition.
+
+    ``sequential`` replicates the reference's Gauss-Seidel loop (each
+    condition sees previous conditions' updates on shared target rows —
+    the interp pairing shares rows between adjacent conditions,
+    rim_slope_match_out.py:203-240); the non-sequential form is used for
+    1:1 pairings where no rows are shared and order cannot matter.
+    """
+    if not sequential:
+        t_rad = w0 * jnp.sum(tilts[row0] * r_dir, axis=1) + w1 * jnp.sum(
+            tilts[row1] * r_dir, axis=1
+        )
+        delta = jnp.where(ok, target - t_rad, 0.0)
+        return _staggered_apply(tilts, row0, row1, w0, w1, r_dir, delta, denom)
+
+    def step(t, inp):
+        r0, r1, a0, a1, rd, okay, den, tgt = inp
+        t_rad = a0 * jnp.dot(t[r0], rd) + a1 * jnp.dot(t[r1], rd)
+        delta = jnp.where(okay, tgt - t_rad, 0.0)
+        safe = jnp.maximum(den, 1e-12)
+        t = t.at[r0].add((delta * a0 / safe) * rd)
+        t = t.at[r1].add(jnp.where(a1 != 0.0, (delta * a1 / safe), 0.0) * rd)
+        return t, None
+
+    tilts, _ = jax.lax.scan(
+        step, tilts, (row0, row1, w0, w1, r_dir, ok, denom, target)
+    )
+    return tilts
+
+
 def _disk_geometry(positions, topo, dtype, prefix="constraint:rim_slope_match_out"):
     """(disk rows, valid, r_hat, arc-length weights) for the disk ring."""
     disk = _x(topo, "disk", prefix)
@@ -293,6 +383,7 @@ def _spec_flags_for(spec, key="constraint:rim_slope_match_out"):
 
 
 def _spec_flags(spec):
+    """(has_disk, interp_outer, local_disk, theta_is_param) or None."""
     flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
     if flags[0] != "active":
         return None
@@ -302,50 +393,80 @@ def _spec_flags(spec):
     return (bool(flags[1]), bool(flags[2]), bool(flags[3]), bool(flags[4]))
 
 
+def _spec_staggered(spec) -> bool:
+    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
+    return flags[0] == "active" and len(flags) > 5 and bool(flags[5])
+
+
+def _theta_targets(tilts_in, positions, topo, params, phi, flags):
+    """Per-rim-index theta_disk target (rim_slope_match_out.py:82-101)."""
+    has_disk, _interp_outer, local_disk, theta_is_param = flags
+    if theta_is_param or not has_disk:
+        theta = params.get("tilt_thetaB_value", jnp.asarray(0.0))
+        return jnp.full_like(phi, theta)
+    disk, dgood, disk_r_hat, dw = _disk_geometry(positions, topo, positions.dtype)
+    theta_vals = jnp.sum(tilts_in[disk] * disk_r_hat, axis=1)
+    if local_disk:
+        return theta_vals
+    wsum = jnp.sum(jnp.where(dgood, dw, 0.0))
+    return jnp.full_like(
+        phi,
+        jnp.sum(jnp.where(dgood, dw * theta_vals, 0.0)) / _fmax_tiny(wsum),
+    )
+
+
 def make_enforce_tilts(spec):
     flags = _spec_flags(spec)
     if flags is None:
         return None
     has_disk, interp_outer, local_disk, theta_is_param = flags
+    staggered = _spec_staggered(spec)
 
     def enforce(state, topo, params):
-        """Project rim tilts onto the matching conditions (pointwise)."""
+        """Project tilts onto the matching conditions (pointwise/staggered)."""
         positions = state.positions
-        valid, phi, _inv_dr, r_hat, _w, _normal, _omap = matching_data(
+        valid, phi, _inv_dr, r_hat, _w, _normal, omap = matching_data(
             positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
         n_rows = positions.shape[0]
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+
+        tilts_in = state.tilts_in
+        tilts_out = state.tilts_out
+        if staggered:
+            row0, row1, w0, w1, r_dir, dir_ok, denom = _staggered_targets(
+                topo, r_hat, vnormals, omap
+            )
+            use = valid & dir_ok
+            second = (row1 != row0) | (w1 != 0.0)
+            fo = topo.tilt_fixed_out_mask
+            fi = topo.tilt_fixed_in_mask
+            ok_out = use & ~(fo[row0] | (fo[row1] & second))
+            tilts_out = _staggered_enforce_field(
+                tilts_out, row0, row1, w0, w1, r_dir, ok_out, denom, phi,
+                sequential=interp_outer,
+            )
+
+            theta_i = _theta_targets(tilts_in, positions, topo, params, phi, flags)
+            ok_in = use & ~(fi[row0] | (fi[row1] & second))
+            tilts_in = _staggered_enforce_field(
+                tilts_in, row0, row1, w0, w1, r_dir, ok_in, denom, theta_i - phi,
+                sequential=interp_outer,
+            )
+            return dataclasses.replace(state, tilts_in=tilts_in, tilts_out=tilts_out)
+
         r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
         use = valid & dir_ok
 
-        tilts_out = state.tilts_out
         ok_out = use & ~topo.tilt_fixed_out_mask[rim]
         t_out_rad = jnp.sum(tilts_out[rim] * r_dir, axis=1)
         delta_out = jnp.where(ok_out, phi - t_out_rad, 0.0)
         tilts_out = tilts_out.at[rim].add(delta_out[:, None] * r_dir)
 
         # inner condition target theta_disk (rim_slope_match_out.py:82-101)
-        tilts_in = state.tilts_in
-        if theta_is_param or not has_disk:
-            theta = params.get("tilt_thetaB_value", jnp.asarray(0.0))
-            theta_i = jnp.full_like(phi, theta)
-        else:
-            disk, dgood, disk_r_hat, dw = _disk_geometry(
-                positions, topo, positions.dtype
-            )
-            theta_vals = jnp.sum(tilts_in[disk] * disk_r_hat, axis=1)
-            if local_disk:
-                theta_i = theta_vals
-            else:
-                wsum = jnp.sum(jnp.where(dgood, dw, 0.0))
-                theta_i = jnp.full_like(
-                    phi,
-                    jnp.sum(jnp.where(dgood, dw * theta_vals, 0.0))
-                    / _fmax_tiny(wsum),
-                )
+        theta_i = _theta_targets(tilts_in, positions, topo, params, phi, flags)
         ok_in = use & ~topo.tilt_fixed_in_mask[rim]
         t_in_rad = jnp.sum(tilts_in[rim] * r_dir, axis=1)
         delta_in = jnp.where(ok_in, (theta_i - phi) - t_in_rad, 0.0)
@@ -368,25 +489,60 @@ def make_frozen_enforce_tilts(spec):
     if flags is None:
         return None
     has_disk, interp_outer, local_disk, theta_is_param = flags
+    staggered = _spec_staggered(spec)
+
+    def _frozen_theta(tin, fr, params, phi):
+        if theta_is_param or not has_disk:
+            theta = params.get("tilt_thetaB_value", jnp.asarray(0.0))
+            return jnp.full_like(phi, theta)
+        theta_vals = jnp.sum(tin[fr["disk"]] * fr["disk_r_hat"], axis=1)
+        if local_disk:
+            return theta_vals
+        wsum = jnp.sum(jnp.where(fr["dgood"], fr["dw"], 0.0))
+        return jnp.full_like(
+            phi,
+            jnp.sum(jnp.where(fr["dgood"], fr["dw"] * theta_vals, 0.0))
+            / _fmax_tiny(wsum),
+        )
 
     def precompute(state, topo, params):
         positions = state.positions
-        valid, phi, _inv_dr, r_hat, _w, _normal, _omap = matching_data(
+        valid, phi, _inv_dr, r_hat, _w, _normal, omap = matching_data(
             positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
         n_rows = positions.shape[0]
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
-        r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
-        use = valid & dir_ok
-        fr = {
-            "rim": rim,
-            "phi": phi,
-            "r_dir": r_dir,
-            "ok_out": use & ~topo.tilt_fixed_out_mask[rim],
-            "ok_in": use & ~topo.tilt_fixed_in_mask[rim],
-        }
+        if staggered:
+            row0, row1, w0, w1, r_dir, dir_ok, denom = _staggered_targets(
+                topo, r_hat, vnormals, omap
+            )
+            use = valid & dir_ok
+            second = (row1 != row0) | (w1 != 0.0)
+            fo = topo.tilt_fixed_out_mask
+            fi = topo.tilt_fixed_in_mask
+            fr = {
+                "phi": phi,
+                "row0": row0,
+                "row1": row1,
+                "w0": w0,
+                "w1": w1,
+                "denom": denom,
+                "r_dir": r_dir,
+                "ok_out": use & ~(fo[row0] | (fo[row1] & second)),
+                "ok_in": use & ~(fi[row0] | (fi[row1] & second)),
+            }
+        else:
+            r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
+            use = valid & dir_ok
+            fr = {
+                "rim": rim,
+                "phi": phi,
+                "r_dir": r_dir,
+                "ok_out": use & ~topo.tilt_fixed_out_mask[rim],
+                "ok_in": use & ~topo.tilt_fixed_in_mask[rim],
+            }
         if not (theta_is_param or not has_disk):
             disk, dgood, disk_r_hat, dw = _disk_geometry(
                 positions, topo, positions.dtype
@@ -395,25 +551,28 @@ def make_frozen_enforce_tilts(spec):
         return fr
 
     def enforce(tin, tout, fr, topo, params):
-        rim, phi, r_dir = fr["rim"], fr["phi"], fr["r_dir"]
+        phi, r_dir = fr["phi"], fr["r_dir"]
+        if staggered:
+            row0, row1, w0, w1, denom = (
+                fr["row0"], fr["row1"], fr["w0"], fr["w1"], fr["denom"],
+            )
+            tout = _staggered_enforce_field(
+                tout, row0, row1, w0, w1, r_dir, fr["ok_out"], denom, phi,
+                sequential=interp_outer,
+            )
+            theta_i = _frozen_theta(tin, fr, params, phi)
+            tin = _staggered_enforce_field(
+                tin, row0, row1, w0, w1, r_dir, fr["ok_in"], denom, theta_i - phi,
+                sequential=interp_outer,
+            )
+            return tin, tout
+
+        rim = fr["rim"]
         t_out_rad = jnp.sum(tout[rim] * r_dir, axis=1)
         delta_out = jnp.where(fr["ok_out"], phi - t_out_rad, 0.0)
         tout = tout.at[rim].add(delta_out[:, None] * r_dir)
 
-        if theta_is_param or not has_disk:
-            theta = params.get("tilt_thetaB_value", jnp.asarray(0.0))
-            theta_i = jnp.full_like(phi, theta)
-        else:
-            theta_vals = jnp.sum(tin[fr["disk"]] * fr["disk_r_hat"], axis=1)
-            if local_disk:
-                theta_i = theta_vals
-            else:
-                wsum = jnp.sum(jnp.where(fr["dgood"], fr["dw"], 0.0))
-                theta_i = jnp.full_like(
-                    phi,
-                    jnp.sum(jnp.where(fr["dgood"], fr["dw"] * theta_vals, 0.0))
-                    / _fmax_tiny(wsum),
-                )
+        theta_i = _frozen_theta(tin, fr, params, phi)
         t_in_rad = jnp.sum(tin[rim] * r_dir, axis=1)
         delta_in = jnp.where(fr["ok_in"], (theta_i - phi) - t_in_rad, 0.0)
         tin = tin.at[rim].add(delta_in[:, None] * r_dir)
@@ -449,40 +608,53 @@ def make_tilt_constraint_rows(spec):
     if flags is None:
         return lambda state, topo, params: None
     has_disk, interp_outer, local_disk, _theta_is_param = flags
+    staggered = _spec_staggered(spec)
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
             return None
         positions = state.positions
-        valid, phi, _inv_dr, r_hat, weights, _normal, _omap = matching_data(
+        valid, phi, _inv_dr, r_hat, weights, _normal, omap = matching_data(
             positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
         n_rows = positions.shape[0]
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
-        r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
+        if staggered:
+            row0, row1, w0, w1, r_dir, dir_ok, _denom = _staggered_targets(
+                topo, r_hat, vnormals, omap
+            )
+        else:
+            r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
         use = valid & dir_ok
         coeff = jnp.where(use, jnp.sqrt(jnp.maximum(weights, 0.0)), 0.0)
 
         k = rim.shape[0]
         dtype = positions.dtype
         idx = jnp.arange(k)
-        # out condition rows: gout = coeff * r_dir at rim row
-        gout = jnp.zeros((k, n_rows, 3), dtype).at[idx, rim].add(
-            coeff[:, None] * r_dir
-        )
+
+        def base_row(leaf_sign=1.0):
+            """coeff * r_dir scattered at the condition's target slots."""
+            g = jnp.zeros((k, n_rows, 3), dtype)
+            if staggered:
+                g = g.at[idx, row0].add((coeff * w0)[:, None] * r_dir)
+                g = g.at[idx, row1].add((coeff * w1)[:, None] * r_dir)
+                return g
+            return g.at[idx, rim].add(coeff[:, None] * r_dir)
+
+        gout = base_row()
         zeros = jnp.zeros((k, n_rows, 3), dtype)
         out_pairs = jnp.stack([zeros, gout], axis=1)  # (k, 2=in/out, Nv, 3)
 
         if not has_disk:
             return out_pairs
 
-        # in rows: coeff * r_dir at rim row minus the disk-side term
-        # (rim_slope_match_utils.py:90-111; theta-scalar lanes without
+        # in rows: coeff * r_dir at the target slots minus the disk-side
+        # term (rim_slope_match_utils.py:90-111; theta-scalar lanes without
         # disk-theta targeting use the same structure)
         disk, dgood, disk_r_hat, dw = _disk_geometry(positions, topo, dtype)
-        gin = jnp.zeros((k, n_rows, 3), dtype).at[idx, rim].add(coeff[:, None] * r_dir)
+        gin = base_row()
         if local_disk:
             gin = gin.at[idx, disk].add(-coeff[:, None] * disk_r_hat)
         else:
@@ -513,44 +685,55 @@ def make_compact_tilt_rows(spec):
         # force every OTHER module's rows onto the dense fallback)
         return lambda state, topo, params: None
     has_disk, interp_outer, local_disk, _theta_is_param = flags
+    staggered = _spec_staggered(spec)
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
             return None
         positions = state.positions
-        valid, phi, _inv_dr, r_hat, weights, _normal, _omap = matching_data(
+        valid, phi, _inv_dr, r_hat, weights, _normal, omap = matching_data(
             positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
         n_rows = positions.shape[0]
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
-        r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
+        if staggered:
+            row0, row1, w0, w1, r_dir, dir_ok, _denom = _staggered_targets(
+                topo, r_hat, vnormals, omap
+            )
+        else:
+            r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
         use = valid & dir_ok
         coeff = jnp.where(use, jnp.sqrt(jnp.maximum(weights, 0.0)), 0.0)
         dtype = positions.dtype
         k = rim.shape[0]
-        safe_rim = jnp.where(use, rim, 0)
 
-        out_vals = jnp.stack(
-            [coeff[:, None] * r_dir, jnp.zeros((k, 3), dtype)], axis=1
-        )  # (k, 2, 3)
-        out_rows = jnp.stack([safe_rim, jnp.zeros_like(safe_rim)], axis=1)
+        zero_val = jnp.zeros((k, 3), dtype)
+        zero_row = jnp.zeros((k,), jnp.int32)
+        if staggered:
+            base_vals = [(coeff * w0)[:, None] * r_dir, (coeff * w1)[:, None] * r_dir]
+            base_rows = [jnp.where(use, row0, 0), jnp.where(use, row1, 0)]
+        else:
+            base_vals = [coeff[:, None] * r_dir]
+            base_rows = [jnp.where(use, rim, 0)]
+        n_base = len(base_vals)
+
+        out_vals = jnp.stack(base_vals + [zero_val], axis=1)  # (k, n_base+1, 3)
+        out_rows = jnp.stack(base_rows + [zero_row], axis=1)
         out_leaf = jnp.ones(out_rows.shape, jnp.int32)  # outer leaflet
 
         if not has_disk:
-            return out_vals, out_rows, out_leaf
+            return out_vals[:, :n_base], out_rows[:, :n_base], out_leaf[:, :n_base]
 
         disk, dgood, disk_r_hat, dw = _disk_geometry(positions, topo, dtype)
         if local_disk:
             in_vals = jnp.stack(
-                [
-                    coeff[:, None] * r_dir,
-                    jnp.where(dgood[:, None], -coeff[:, None] * disk_r_hat, 0.0),
-                ],
+                base_vals
+                + [jnp.where(dgood[:, None], -coeff[:, None] * disk_r_hat, 0.0)],
                 axis=1,
             )
-            in_rows = jnp.stack([safe_rim, jnp.where(dgood, disk, 0)], axis=1)
+            in_rows = jnp.stack(base_rows + [jnp.where(dgood, disk, 0)], axis=1)
             in_leaf = jnp.zeros(in_rows.shape, jnp.int32)  # inner leaflet
             return (
                 jnp.concatenate([out_vals, in_vals], axis=0),
@@ -567,18 +750,14 @@ def make_compact_tilt_rows(spec):
             jnp.where(dgood[:, None], mean_dirs, 0.0)
         )
         bg_field = jnp.stack([shared_in, jnp.zeros((n_rows, 3), dtype)])  # (2, Nv, 3)
-        in_vals = (coeff[:, None] * r_dir)[:, None, :]  # (k, 1, 3)
-        in_rows = safe_rim[:, None]
+        in_vals = jnp.stack(base_vals, axis=1)  # (k, n_base, 3)
+        in_rows = jnp.stack(base_rows, axis=1)
         in_leaf = jnp.zeros(in_rows.shape, jnp.int32)
-        out_vals1 = out_vals[:, :1]
-        out_rows1 = out_rows[:, :1]
-        out_leaf1 = out_leaf[:, :1]
-        k = rim.shape[0]
         bg_coeff = jnp.concatenate([jnp.zeros((k,), dtype), -coeff])
         return (
-            jnp.concatenate([out_vals1, in_vals], axis=0),
-            jnp.concatenate([out_rows1, in_rows], axis=0),
-            jnp.concatenate([out_leaf1, in_leaf], axis=0),
+            jnp.concatenate([out_vals[:, :n_base], in_vals], axis=0),
+            jnp.concatenate([out_rows[:, :n_base], in_rows], axis=0),
+            jnp.concatenate([out_leaf[:, :n_base], in_leaf], axis=0),
             bg_coeff,
             bg_field,
         )

@@ -145,13 +145,17 @@ def make_leaflet_bending_tilt_frozen(
             "keep": keep,
         }
 
-    def energy(tin, tout, fr, topo, params):
+    def energy(tin, tout, fr, topo, params, ctx=None):
         kappa = params.get(kappa_key, params.get("bending_modulus", jnp.asarray(0.0)))
-        tilts = tin if leaflet == "in" else tout
         g = fr["g"]
-        t0 = tilts[topo.tri_rows[:, 0]]
-        t1 = tilts[topo.tri_rows[:, 1]]
-        t2 = tilts[topo.tri_rows[:, 2]]
+        if ctx is not None:
+            corners = ctx["tin_c"] if leaflet == "in" else ctx["tout_c"]
+            t0, t1, t2 = corners[:, 0], corners[:, 1], corners[:, 2]
+        else:
+            tilts = tin if leaflet == "in" else tout
+            t0 = tilts[topo.tri_rows[:, 0]]
+            t1 = tilts[topo.tri_rows[:, 1]]
+            t2 = tilts[topo.tri_rows[:, 2]]
         div = (
             jnp.sum(t0 * g[:, 0], axis=1)
             + jnp.sum(t1 * g[:, 1], axis=1)

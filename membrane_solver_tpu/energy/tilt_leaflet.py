@@ -77,12 +77,16 @@ def make_leaflet_tilt_frozen(spec, leaflet: str):
             area = jnp.where(present, area, 0.0)
         return {"area": area}
 
-    def energy(tin, tout, fr, topo, params):
+    def energy(tin, tout, fr, topo, params, ctx=None):
         k_tilt = params.get(f"tilt_modulus_{leaflet}", jnp.asarray(0.0))
-        tilts = tin if leaflet == "in" else tout
-        t0 = tilts[topo.tri_rows[:, 0]]
-        t1 = tilts[topo.tri_rows[:, 1]]
-        t2 = tilts[topo.tri_rows[:, 2]]
+        if ctx is not None:
+            corners = ctx["tin_c"] if leaflet == "in" else ctx["tout_c"]
+            t0, t1, t2 = corners[:, 0], corners[:, 1], corners[:, 2]
+        else:
+            tilts = tin if leaflet == "in" else tout
+            t0 = tilts[topo.tri_rows[:, 0]]
+            t1 = tilts[topo.tri_rows[:, 1]]
+            t2 = tilts[topo.tri_rows[:, 2]]
         sq = (
             jnp.sum(t0 * t0, axis=1) + jnp.sum(t1 * t1, axis=1) + jnp.sum(t2 * t2, axis=1)
         )

@@ -177,7 +177,7 @@ def make_tilt_frozen(spec):
             "r_eff": r_eff,
         }
 
-    def energy_fn(tin, tout, fr, topo, params):
+    def energy_fn(tin, tout, fr, topo, params, ctx=None):
         dtype = tin.dtype
         if not fr:
             return jnp.asarray(0.0, dtype)

@@ -142,6 +142,29 @@ class Minimizer:
         if self._problem is not None:
             writeback(self._problem, self.mesh)
 
+    def _project_tilts_device(self, p: CompiledProblem):
+        """Tangent-project all tilt fields on device (MeshState -> MeshState).
+
+        Same arithmetic as the host mesh.project_tilts_to_tangent(): per
+        vertex, t -= (t . n) n with area-weighted unit vertex normals
+        (zero-normal rows are no-ops in both paths).
+        """
+        from membrane_solver_tpu.device import geo as dgeo
+
+        st = p.state
+        geo = dgeo.triangle_geometry(st.positions, p.topo.tri_rows, p.topo.tri_valid)
+        nrm = dgeo.vertex_normals(
+            geo, p.topo.tri_rows, p.topo.tri_valid, st.positions.shape[0]
+        )
+        import dataclasses as _dc
+
+        return _dc.replace(
+            st,
+            tilts=dgeo.project_to_tangent(st.tilts, nrm),
+            tilts_in=dgeo.project_to_tangent(st.tilts_in, nrm),
+            tilts_out=dgeo.project_to_tangent(st.tilts_out, nrm),
+        )
+
     # ------------------------------------------------------------------
     # energy entry points
     # ------------------------------------------------------------------
@@ -239,8 +262,14 @@ class Minimizer:
         from membrane_solver_tpu.runtime import tilt_relax as _tr
 
         p.state = _tr.make_tilt_enforcer(p.spec)(p.state, p.topo, p.params)
+        # tangent re-projection runs ON DEVICE: the former host-side
+        # mesh.project_tilts_to_tangent() bumped the mesh version, forcing a
+        # full host->device state recompile (O(N) Python entity loops) on
+        # the next problem() — several seconds per minimize() call at
+        # refined sizes.  The host copy is refreshed by writeback instead,
+        # which mutates arrays in place without a version bump.
+        p.state = self._project_tilts_device(p)
         self._sync_host()
-        self.mesh.project_tilts_to_tangent()
 
     def _enforce_constraints(self, mesh: Mesh | None = None) -> None:
         if not self._has_enforceable_constraints:
@@ -261,12 +290,18 @@ class Minimizer:
             validate_leaflet_absence_topology,
         )
 
-        validate_leaflet_absence_topology(self.mesh, self.global_params)
-        validate_disk_interface_topology(self.mesh, self.global_params)
+        # topology validators read only host-side connectivity, which the
+        # device never mutates — run once per topology epoch
+        tok = (id(self.mesh), getattr(self.mesh, "_topology_version", 0))
+        if getattr(self, "_validated_topology_token", None) != tok:
+            validate_leaflet_absence_topology(self.mesh, self.global_params)
+            validate_disk_interface_topology(self.mesh, self.global_params)
+            self._validated_topology_token = tok
         from membrane_solver_tpu.runtime.diagnostics.audit import check_gauss_bonnet
 
-        self._sync_host()
-        check_gauss_bonnet(self)
+        if bool(self.global_params.get("gauss_bonnet_monitor", False)):
+            self._sync_host()  # the monitor walks the host mesh
+            check_gauss_bonnet(self)
         p = self.problem()
         p.params = build_params(self.mesh)
 
@@ -428,8 +463,9 @@ class Minimizer:
             if enforce is not None:
                 p.state = enforce(p.state, p.topo, p.params, context="finalize")
 
+        p = self.problem()
+        p.state = self._project_tilts_device(p)
         self._sync_host()
-        self.mesh.project_tilts_to_tangent()
         final_energy = float(self.compute_energy())
         return {
             "energy": final_energy,

@@ -439,9 +439,16 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             c_frozen = [p(state, topo, params) for p in c_pre]
 
             def energy_pair(t_in, t_out):
+                # shared corner bundle: ONE (F, 3, 3) gather per leaflet field
+                # feeds every module (and AD transposes it into ONE scatter
+                # per field), instead of 3 gathers + 3 scatters per module
+                ctx = {
+                    "tin_c": t_in[topo.tri_rows],
+                    "tout_c": t_out[topo.tri_rows],
+                }
                 e = jnp.asarray(0.0, dtype)
                 for fn, f in zip(e_fns, e_frozen):
-                    e = e + fn(t_in, t_out, f, topo, params)
+                    e = e + fn(t_in, t_out, f, topo, params, ctx)
                 return e
 
             vg_pair = jax.value_and_grad(energy_pair, argnums=(0, 1))

@@ -2,12 +2,29 @@
 
 Goldens in fixtures/reference_lane_traces.json were recorded from the NumPy
 reference with one process per command prefix (probing energies mid-run
-perturbs the reference's trajectory through its cache layer — a hazard class
-this rebuild eliminates by construction).
+perturbs the reference's trajectory through its cache layer), and with the
+reference's own curvature-cache flush applied at the start of every
+iteration — the same flush it performs before any user-visible energy
+report.  Without that flush the reference's within-call trajectory depends
+on stale curvature intermediates and even disagrees with its own
+per-single-step execution of the same protocol (g5 != g1;g1;g1;g1;g1 on the
+bending lane; the flushed run matches this solver to 1 ulp).  See
+tools/record_reference_traces.py and tools/ref_kkt_pathology_repro.py.
 
-Tolerances: lanes whose trajectories contain no marginal Delaunay flips match
-to machine precision; lanes where a flip decision sits on the 1e-3 margin
-(cap, two_disks_sphere) diverge by small amounts afterwards.
+Tolerances per lane:
+- square_to_circle, catenoid, bending: no cache artifacts on these
+  trajectories -> machine-precision parity (1e-10 / 1e-8).
+- cap, two_disks_sphere, dented_cube: the reference's in-place enforcement
+  passes act on stale position views.  Recorded examples: the dented_cube
+  entry "hard projection" leaves the body at V=0.5096 against target 1.0
+  (the volume module reads the pre-dent positions), deferring inflation to
+  the next step's drift check; the cap finalize projection composes with
+  the line search's in-place mutations ~2e-8 differently than a clean
+  evaluation of the same accepted state.  This solver's pure-functional
+  state cannot reproduce those order-dependent artifacts; the trajectories
+  re-converge as the lanes relax (recorded worst/final relative deltas:
+  cap 4.4e-3/4.2e-3, two_disks 4.0e-3/9.0e-4, dented_cube 2.1e-2/7.6e-5),
+  and the tolerances below bracket them.
 """
 
 import json
@@ -25,14 +42,22 @@ REF_ROOT = Path("/root/reference")
 LANES = [
     ("square_to_circle", 1e-10, 1e-10),
     ("catenoid", 1e-10, 1e-10),
-    ("cap", 5e-2, 1e-2),
-    ("two_disks_sphere", 5e-2, 2e-3),
+    ("cap", 1e-2, 1e-2),
+    ("two_disks_sphere", 1e-2, 2e-3),
+    ("dented_cube", 5e-2, 2e-4),
+    ("bending", 1e-8, 1e-8),
 ]
 
 
 def run_lane(rec):
     mesh = parse_geometry(load_data(REF_ROOT / rec["path"]))
-    minim = Minimizer(mesh, quiet=True)
+    overrides = rec.get("overrides") or {}
+    minim = Minimizer(
+        mesh,
+        quiet=True,
+        energy_modules=overrides.get("energy_modules"),
+        constraint_modules=overrides.get("constraint_modules"),
+    )
     step = mesh.global_parameters.get("step_size")
     if step is not None:
         minim.step_size = float(step)

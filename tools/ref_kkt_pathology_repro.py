@@ -195,12 +195,77 @@ def main() -> None:
         "trace_tail": steps[-10:],
     }
 
+    # ------------------------------------------------------------------
+    # pathology 3: within-call stale curvature cache (bending lane)
+    # ------------------------------------------------------------------
+    bend_path = os.path.join(REF, "benchmarks", "inputs", "bench_bending_analytic.json")
+
+    def bending_run(n_calls, steps_per_call, flush):
+        mesh = parse_geometry(load_data(bend_path))
+        mn = Minimizer(
+            mesh, mesh.global_parameters, GradientDescent(),
+            EnergyModuleManager(["bending"]), ConstraintModuleManager(["volume"]),
+            quiet=True,
+        )
+        mn.step_size = float(mesh.global_parameters.get("step_size"))
+        cb = None
+        if flush:
+            def cb(m, i):
+                m._curvature_cache = {}
+                m._curvature_version = -1
+        with redirect_stdout(io.StringIO()), redirect_stderr(io.StringIO()):
+            for _ in range(n_calls):
+                mn.minimize(steps_per_call, callback=cb)
+        return float(mn.compute_energy())
+
+    report["stale_curvature_cache"] = {
+        "minimize_5": bending_run(1, 5, flush=False),
+        "minimize_1_x5": bending_run(5, 1, flush=False),
+        "minimize_5_with_per_step_flush": bending_run(1, 5, flush=True),
+        "note": (
+            "one g5 call disagrees with five g1 calls of the same protocol; "
+            "flushing the curvature cache per iteration (the reference's own "
+            "pre-report hygiene) reproduces the per-step value, which equals "
+            "this solver's trajectory to 1 ulp"
+        ),
+    }
+
+    # ------------------------------------------------------------------
+    # pathology 4: stale-view enforcement pass (dented_cube lane)
+    # ------------------------------------------------------------------
+    dent_path = os.path.join(REF, "benchmarks", "inputs", "bench_dented_cube.json")
+    mesh = parse_geometry(load_data(dent_path))
+    mn = Minimizer(
+        mesh, mesh.global_parameters, GradientDescent(),
+        EnergyModuleManager(mesh.energy_modules),
+        ConstraintModuleManager(mesh.constraint_modules), quiet=True,
+    )
+    body = list(mesh.bodies.values())[0]
+    v_before = float(body.compute_volume(mesh))
+    with redirect_stdout(io.StringIO()), redirect_stderr(io.StringIO()):
+        mn.enforce_constraints_after_mesh_ops(mesh)
+    mesh.increment_version()
+    v_after = float(body.compute_volume(mesh))
+    report["stale_view_enforcement"] = {
+        "volume_before": v_before,
+        "volume_after_hard_projection_pass": v_after,
+        "target_volume": float(body.target_volume),
+        "note": (
+            "the pin projection dents the cube inside the same enforcement "
+            "pass, but the volume module reads a stale positions view and "
+            "leaves the body at half its target volume despite the pass "
+            "being documented as a hard projection back to the target"
+        ),
+    }
+
     OUT.write_text(json.dumps(report, indent=2))
     print(json.dumps({
         "wrote": str(OUT),
         "stall_energy_10_steps": E10,
         "degenerate_solves": len(degenerate),
         "worst_stale_mismatch": worst,
+        "bending": report["stale_curvature_cache"],
+        "dented_cube_volume": [v_before, v_after],
     }))
 
 
