@@ -37,7 +37,14 @@ def compile_topology(layout) -> dict:
     rows = []
     for vid in sorted(mesh.vertices):
         opts = mesh.vertices[vid].options or {}
-        if opts.get("tilt_thetaB_group") == group or opts.get("tilt_thetaB_group_in") == group:
+        # the reference matches the group against THREE tag keys — lanes tag
+        # the disk ring via rim_slope_match_group while theta machinery reads
+        # it too (reference tilt_thetaB_boundary_in._collect_group_rows:96-107)
+        if (
+            opts.get("rim_slope_match_group") == group
+            or opts.get("tilt_thetaB_group") == group
+            or opts.get("tilt_thetaB_group_in") == group
+        ):
             rows.append(layout.row_of[int(vid)])
     if not rows:
         return empty

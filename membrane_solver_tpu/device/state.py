@@ -414,6 +414,9 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "tilt_cg_rejection_fallback",
     "shape_scaffold_rejected_step_fallback",
     "rim_slope_match_mode",
+    "tilt_kkt_projection_during_relaxation",
+    "tilt_mass_mode_in",
+    "tilt_mass_mode_out",
 )
 
 

@@ -225,6 +225,49 @@ class Minimizer:
             "tilt_step_size": step,
         }
 
+    def relax_leaflet_tilts(
+        self,
+        max_iters: int | None = None,
+        step_size: float | None = None,
+        tol: float | None = None,
+    ) -> Dict[str, float]:
+        """Run one inner leaflet tilt relaxation and COMMIT the state.
+
+        Parity: the reference's direct `_relax_leaflet_tilts` entry used by
+        the flat-disk acceptance tools (positions frozen, coupled mode).
+        """
+        from membrane_solver_tpu.runtime import tilt_relax as _tr
+
+        p = self.problem()
+        p.params = build_params(self.mesh)
+        if not _tr.spec_uses_leaflet_tilts(p.spec):
+            return {"active": 0.0}
+        gp = self.global_params
+        iters = int(
+            max_iters
+            if max_iters is not None
+            else gp.get("tilt_cg_max_iters", gp.get("tilt_inner_steps", 40)) or 40
+        )
+        step = float(
+            step_size if step_size is not None else gp.get("tilt_step_size", 0.1) or 0.1
+        )
+        tol_v = float(tol if tol is not None else gp.get("tilt_tol", 0.0) or 0.0)
+        relax = _tr.make_relax_leaflet_tilts(p.spec)
+        p.state, stats = relax(
+            p.state,
+            p.topo,
+            p.params,
+            jnp.asarray(iters, jnp.int32),
+            jnp.asarray(step),
+            jnp.asarray(tol_v),
+        )
+        return {
+            "active": 1.0,
+            "accepted_steps": float(stats.accepted_steps),
+            "final_energy": float(stats.final_energy),
+            "final_gradient_norm": float(stats.final_gradient_norm),
+        }
+
     def compute_energy_and_gradient(self):
         E, g = self.compute_energy_and_gradient_array()
         p = self.problem()

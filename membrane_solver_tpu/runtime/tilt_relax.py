@@ -482,7 +482,10 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         fixed_vals_out = tout
 
         # constraint rows depend on positions only (frozen here): build them
-        # and factor the KKT normal equations once for the whole inner solve
+        # and factor the KKT normal equations once for the whole inner solve.
+        # NOTE the gp key tilt_kkt_projection_during_relaxation is accepted
+        # but ignored, as in the reference: its runtime never reads it (the
+        # flat-disk tools set it, but the projection always applies).
         if compact_collector is not None:
             projector = make_compact_tilt_projector(
                 compact_collector(state, topo, params)
