@@ -56,7 +56,10 @@ if _cache not in {"0", "false", "no"}:
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache small executables too: the classic lanes compile many
+        # sub-second programs per capacity epoch (a cold cube recipe spends
+        # ~4.5 s in 27 ms compiles that a warm cache loads in ~1 ms each)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.02)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # cache is best-effort; never block solving
         pass

@@ -19,7 +19,7 @@ All functions are shape-polymorphic only in the padded capacity; invalid rows
 are masked so padding contributes exactly zero.  Scatter-adds use
 ``.at[].add`` which XLA lowers to deterministic on-chip scatters; a fused
 Pallas path for the hottest combinations lives in
-``membrane_solver_tpu.device.pallas_kernels``.
+``membrane_solver_tpu.pallas_kernels``.
 """
 
 from __future__ import annotations
@@ -114,9 +114,14 @@ def scatter_add_rows(
         corners = jnp.concatenate([tri_rows[:, 0], tri_rows[:, 1], tri_rows[:, 2]])
         onehot = (corners[:, None] == iota[None, :]).astype(dtype)
         vals = jnp.concatenate([values0, values1, values2], axis=0)
+        # HIGHEST: the TPU MXU's default bf16 passes would round the values
+        # (one-hot entries are exact either way); full f32 keeps the matmul
+        # an exact selection + f32-accumulated sum
         if vals.ndim == 1:
-            return vals @ onehot
-        return jnp.einsum("fc,fn->nc", vals, onehot)
+            return jnp.matmul(vals, onehot, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum(
+            "fc,fn->nc", vals, onehot, precision=jax.lax.Precision.HIGHEST
+        )
     out = jnp.zeros((n_rows,) + values0.shape[1:], dtype=values0.dtype)
     out = out.at[tri_rows[:, 0]].add(values0)
     out = out.at[tri_rows[:, 1]].add(values1)

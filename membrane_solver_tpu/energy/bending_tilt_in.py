@@ -37,3 +37,33 @@ def make_tilt_frozen(spec):
         div_sign=-1.0,
         c0_key="spontaneous_curvature_in",
     )
+
+
+def make_energy(spec):
+    """Static-mode-aware energy (theory-parity base/divergence overrides)."""
+    from membrane_solver_tpu.energy.bending_tilt_leaflet import static_modes
+
+    zero_base, recovered = static_modes(spec, "in")
+
+    def fn(geo, state, topo, params):
+        return leaflet_bending_tilt_energy(
+            state,
+            topo,
+            params,
+            tilts=state.tilts_in,
+            kappa_key="bending_modulus_in",
+            div_sign=-1.0,
+            c0_key="spontaneous_curvature_in",
+            tri_present=present_triangles(topo, "in"),
+            zero_base=zero_base,
+            j0_mask=topo.extras.get("energy:bending_tilt_in/assume_J0"),
+            recovered_div=recovered,
+        )
+
+    return fn
+
+
+def compile_topology(layout):
+    from membrane_solver_tpu.energy.bending_tilt_leaflet import compile_assume_J0
+
+    return compile_assume_J0(layout, "in")

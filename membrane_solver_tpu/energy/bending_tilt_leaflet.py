@@ -71,9 +71,42 @@ def _fields(positions, topo, params, kappa_key, c0_key, tri_present=None):
     return base_term, va_eff, a_eff, kappa, interior
 
 
+def recovered_divergence(div_term, positions, topo):
+    """Theory-mode inner divergence smoothing (barycentric recovery).
+
+    Parity: reference ``modules/energy/bt_divergence.py:57-117``
+    (_inner_recovered_divergence) — vertex values recovered with w = A/3
+    area weights, averaged back to triangles.  A linear operator, so JAX AD
+    of this expression reproduces the reference's analytic pullback
+    (bt_divergence.py:119-160) exactly.
+    """
+    geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+    w = jnp.where(topo.tri_valid, geo.area / 3.0, 0.0)
+    n_rows = positions.shape[0]
+    v_area = dgeo.scatter_add_rows(w, w, w, topo.tri_rows, n_rows)
+    wd = w * div_term
+    v_num = dgeo.scatter_add_rows(wd, wd, wd, topo.tri_rows, n_rows)
+    v_div = jnp.where(v_area > 1e-20, v_num / jnp.maximum(v_area, 1e-20), 0.0)
+    return jnp.mean(v_div[topo.tri_rows], axis=1)
+
+
+def _apply_base_overrides(base_term, zero_base, j0_mask):
+    """Theory-mode base-term overrides (bt_params/bt_selection parity).
+
+    zero_base: ``bending_tilt_base_term_reference_mode=flat_reference_zero_J0``
+    zeroes the Helfrich base everywhere; j0_mask: rows of
+    ``bending_tilt_assume_J0_presets`` vertices get base = 0.
+    """
+    if zero_base:
+        base_term = jnp.zeros_like(base_term)
+    elif j0_mask is not None:
+        base_term = jnp.where(j0_mask, 0.0, base_term)
+    return base_term
+
+
 def leaflet_bending_tilt_energy(
     state, topo, params, *, tilts, kappa_key: str, div_sign: float, c0_key: str,
-    tri_present=None,
+    tri_present=None, zero_base=False, j0_mask=None, recovered_div=False,
 ):
     positions = state.positions
     frozen_x = jax.lax.stop_gradient(positions)
@@ -83,8 +116,11 @@ def leaflet_bending_tilt_energy(
     base_f, va_eff_f, a_eff_f, kappa, interior = _fields(
         frozen_x, topo, params, kappa_key, c0_key, tri_present
     )
+    base_f = _apply_base_overrides(base_f, zero_base, j0_mask)
     div_tri, _, _ = p1_triangle_divergence(frozen_x, tilts, topo.tri_rows, topo.tri_valid)
     div_term = div_sign * div_tri
+    if recovered_div:
+        div_term = recovered_divergence(div_term, frozen_x, topo)
     term_c = base_f[topo.tri_rows] + div_term[:, None]
     keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
     corner = 0.5 * jnp.sum(
@@ -105,12 +141,78 @@ def leaflet_bending_tilt_energy(
     base_x, _va_x, a_eff_x, kappa_x, interior_x = _fields(
         positions, topo, params, kappa_key, c0_key, tri_present
     )
+    base_x = _apply_base_overrides(base_x, zero_base, j0_mask)
     term_v = jnp.where(interior_x, base_x + div_eff, 0.0)
     surrogate = 0.5 * jnp.sum(
         jnp.where(topo.vertex_valid, kappa_x * term_v**2 * a_eff_x, 0.0)
     )
 
     return corner + surrogate - jax.lax.stop_gradient(surrogate)
+
+
+def static_modes(spec, leaflet: str):
+    """(zero_base, recovered_div) static switches for one leaflet.
+
+    Parity: reference bt_params.py — flat_reference_zero_J0 zeroes the base
+    term; a non-empty ``theory_parity_lane`` turns on the recovered inner
+    divergence for the in-leaflet only (bt_params._use_inner_recovered_
+    divergence).
+    """
+    mode = spec.option(
+        f"bending_tilt_base_term_reference_mode_{leaflet}",
+        spec.option("bending_tilt_base_term_reference_mode", "current_geometry"),
+    )
+    zero_base = str(mode).strip().lower() == "flat_reference_zero_j0"
+    recovered = leaflet == "in" and bool(spec.option("theory_parity_lane", "").strip())
+    return zero_base, recovered
+
+
+def compile_assume_J0(layout, leaflet: str):
+    """Compile hook: padded bool mask of assume-J0 preset vertex rows.
+
+    Parity: reference bt_selection._collect_preset_rows — vertices whose
+    ``options.preset`` is in ``bending_tilt_assume_J0_presets[_tag]``, with
+    the optional ``..._radius_max`` xy-radius clip about tilt_thetaB_center
+    (positions at topology-compile time, matching the reference's
+    vertex-version-keyed cache).
+    """
+    import numpy as np
+
+    mesh = layout.mesh
+    gp = mesh.global_parameters
+    raw = gp.get(f"bending_tilt_assume_J0_presets_{leaflet}")
+    if raw is None:
+        raw = gp.get("bending_tilt_assume_J0_presets")
+    if raw is None:
+        return {}
+    presets = {str(x).strip() for x in ([raw] if isinstance(raw, str) else raw)}
+    presets.discard("")
+    radius_raw = gp.get(f"bending_tilt_assume_J0_presets_radius_max_{leaflet}")
+    if radius_raw is None:
+        radius_raw = gp.get("bending_tilt_assume_J0_presets_radius_max")
+    radius_max = None if radius_raw is None else float(radius_raw)
+    center_raw = gp.get("tilt_thetaB_center")
+    if center_raw is None:
+        center_raw = gp.get("pin_to_circle_point")
+    center = np.zeros(2)
+    if center_raw is not None:
+        arr = np.asarray(center_raw, dtype=float).reshape(-1)
+        if arr.size >= 2:
+            center = arr[:2]
+    mask = np.zeros(len(layout.vertex_ids), dtype=bool)
+    for vid, vertex in mesh.vertices.items():
+        opts = getattr(vertex, "options", None) or {}
+        if str(opts.get("preset") or "") not in presets:
+            continue
+        row = layout.row_of.get(int(vid))
+        if row is None:
+            continue
+        if radius_max is not None:
+            pos = np.asarray(vertex.position, dtype=float)
+            if float(np.linalg.norm(pos[:2] - center)) > radius_max + 1e-12:
+                continue
+        mask[row] = True
+    return {"assume_J0": layout.pad_rows(mask, layout.nv_cap, False)}
 
 
 def make_leaflet_bending_tilt_frozen(
@@ -127,6 +229,9 @@ def make_leaflet_bending_tilt_frozen(
     tilt-dependent part — values and tilt gradients match exactly.
     """
 
+    zero_base, recovered = static_modes(spec, leaflet)
+    j0_key = f"energy:bending_tilt_{leaflet}/assume_J0"
+
     def precompute(state, topo, params):
         from membrane_solver_tpu.energy.leaflet_presence import present_triangles
 
@@ -135,15 +240,27 @@ def make_leaflet_bending_tilt_frozen(
         base_f, va_eff_f, _a_eff_f, _kappa, _interior = _fields(
             positions, topo, params, kappa_key, c0_key, tri_present
         )
+        base_f = _apply_base_overrides(base_f, zero_base, topo.extras.get(j0_key))
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         g = dgeo.p1_shape_gradients(geo)
         keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
-        return {
+        out = {
             "base_c": base_f[topo.tri_rows],
             "va_eff": va_eff_f,
             "g": g,
             "keep": keep,
         }
+        if recovered:
+            # barycentric-recovery smoothing weights (positions constant)
+            w = jnp.where(topo.tri_valid, geo.area / 3.0, 0.0)
+            v_area = dgeo.scatter_add_rows(
+                w, w, w, topo.tri_rows, positions.shape[0]
+            )
+            out["smooth_w"] = w
+            out["smooth_inv_varea"] = jnp.where(
+                v_area > 1e-20, 1.0 / jnp.maximum(v_area, 1e-20), 0.0
+            )
+        return out
 
     def energy(tin, tout, fr, topo, params, ctx=None):
         kappa = params.get(kappa_key, params.get("bending_modulus", jnp.asarray(0.0)))
@@ -162,7 +279,14 @@ def make_leaflet_bending_tilt_frozen(
             + jnp.sum(t2 * g[:, 2], axis=1)
         )
         div = jnp.where(topo.tri_valid, div, 0.0)
-        term_c = fr["base_c"] + (div_sign * div)[:, None]
+        div = div_sign * div
+        if recovered:
+            wd = fr["smooth_w"] * div
+            n_rows = fr["smooth_inv_varea"].shape[0]
+            v_num = dgeo.scatter_add_rows(wd, wd, wd, topo.tri_rows, n_rows)
+            v_div = v_num * fr["smooth_inv_varea"]
+            div = jnp.mean(v_div[topo.tri_rows], axis=1)
+        term_c = fr["base_c"] + div[:, None]
         return 0.5 * jnp.sum(
             jnp.where(fr["keep"], kappa * jnp.sum(term_c**2 * fr["va_eff"], axis=1), 0.0)
         )

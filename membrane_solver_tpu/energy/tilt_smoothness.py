@@ -21,25 +21,25 @@ from membrane_solver_tpu.device import geo as dgeo
 USES_TILT = True
 
 
+def minimal_rotation(t, a, b):
+    """Minimal rotation taking unit vector a to unit vector b, applied to t."""
+    v = jnp.cross(a, b)
+    c = jnp.sum(a * b, axis=-1, keepdims=True)
+    vxt = jnp.cross(v, t)
+    vvt = jnp.sum(v * t, axis=-1, keepdims=True) * v
+    denom = jnp.maximum(1.0 + c, 1e-12)
+    return t * c + vxt + vvt / denom
+
+
 def _transport_to_triangle(positions, tilts, topo):
     """connection_v1: rotate each corner tilt from its vertex plane to the tri plane."""
     n_rows = positions.shape[0]
     geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
     vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
-
-    def rotate(t, a, b):
-        # minimal rotation taking unit vector a to unit vector b applied to t
-        v = jnp.cross(a, b)
-        c = jnp.sum(a * b, axis=-1, keepdims=True)
-        vxt = jnp.cross(v, t)
-        vvt = jnp.sum(v * t, axis=-1, keepdims=True) * v
-        denom = jnp.maximum(1.0 + c, 1e-12)
-        return t * c + vxt + vvt / denom
-
     out = []
     for corner in range(3):
         rows = topo.tri_rows[:, corner]
-        out.append(rotate(tilts[rows], vnormals[rows], geo.unit_normal))
+        out.append(minimal_rotation(tilts[rows], vnormals[rows], geo.unit_normal))
     return out
 
 

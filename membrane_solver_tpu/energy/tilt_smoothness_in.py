@@ -28,3 +28,12 @@ def make_energy(spec):
 def energy(geo, state, topo, params):
     k = params.get("bending_modulus_in", params.get("bending_modulus", jnp.asarray(0.0)))
     return smoothness_energy(state.positions, state.tilts_in, topo, k, "ambient_v1", present_triangles(topo, "in"))
+
+
+def make_tilt_frozen(spec):
+    """Frozen-geometry split for the inner tilt solve (positions constant)."""
+    from membrane_solver_tpu.energy.tilt_smoothness_leaflet import (
+        make_leaflet_smoothness_frozen,
+    )
+
+    return make_leaflet_smoothness_frozen(spec, "in")

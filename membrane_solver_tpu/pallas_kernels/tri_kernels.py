@@ -35,12 +35,21 @@ _TILE_T = 512  # triangles per grid step (4 lane-tiles)
 
 
 def pallas_enabled(dtype=None) -> bool:
-    """Pallas path is opt-in and f32-only (f64 stays on stock XLA)."""
-    if os.environ.get("MEMBRANE_SOLVER_PALLAS", "0") != "1":
-        return False
+    """Pallas path: default ON on TPU, f32-only (f64 stays on stock XLA).
+
+    MEMBRANE_SOLVER_PALLAS=0 disables; =1 forces (interpreter mode off-TPU,
+    used by the parity tests).
+    """
+    env = os.environ.get("MEMBRANE_SOLVER_PALLAS")
+    if env is not None:
+        if env in {"0", "false", "no"}:
+            return False
+        enabled = True
+    else:
+        enabled = jax.default_backend() == "tpu"
     if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False
-    return True
+    return enabled
 
 
 def _interpret() -> bool:

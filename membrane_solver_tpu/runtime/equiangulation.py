@@ -57,6 +57,80 @@ def equiangulate_mesh(mesh: Mesh, max_iterations: int = 100) -> Mesh:
     return current
 
 
+def _bulk_flip_verdicts(mesh: Mesh) -> dict:
+    """Vectorized Delaunay verdicts for every interior 2-triangle edge.
+
+    Exactly the arithmetic of :func:`should_flip_edge`, evaluated for all
+    candidate edges in one batch.  Positions do not change during
+    equiangulation, so a verdict stays valid until a nearby flip modifies
+    the edge's adjacent facets — the caller recomputes those few with the
+    scalar function, preserving the sequential reference semantics.
+    """
+    rows = []
+    quads = []
+    for edge_idx, edge in mesh.edges.items():
+        if edge.fixed:
+            continue
+        adjacent = mesh.facets_of_edge(edge_idx)
+        if len(adjacent) != 2:
+            continue
+        f1, f2 = adjacent
+        if len(f1.edge_indices) != 3 or len(f2.edge_indices) != 3:
+            continue
+        off1 = _off_vertex(mesh, f1, edge)
+        off2 = _off_vertex(mesh, f2, edge)
+        if off1 is None or off2 is None:
+            continue
+        rows.append(edge_idx)
+        quads.append((edge.tail_index, edge.head_index, off1, off2))
+    if not rows:
+        return {}
+    idx = np.asarray(quads, dtype=np.int64)
+    pos = {vid: v.position for vid, v in mesh.vertices.items()}
+    P = np.array([[pos[int(a)], pos[int(b)], pos[int(c)], pos[int(d)]] for a, b, c, d in idx])
+    p1, p2, q1, q2 = P[:, 0], P[:, 1], P[:, 2], P[:, 3]
+
+    n1 = np.cross(p2 - p1, q1 - p1)
+    n2 = np.cross(q2 - p1, p2 - p1)
+    n = n1 + n2
+    n1n = np.linalg.norm(n1, axis=1)
+    nn = np.linalg.norm(n, axis=1)
+    n = np.where((nn < 1e-12)[:, None], np.where((n1n >= 1e-12)[:, None], n1, n2), n)
+    nn = np.linalg.norm(n, axis=1)
+    ok = nn >= 1e-12
+    n = n / np.maximum(nn, 1e-300)[:, None]
+
+    edge_vec = p2 - p1
+    elen = np.linalg.norm(edge_vec, axis=1)
+    ok &= elen >= 1e-12
+    u = edge_vec / np.maximum(elen, 1e-300)[:, None]
+    v = np.cross(n, u)
+    vn = np.linalg.norm(v, axis=1)
+    ok &= vn >= 1e-12
+    v = v / np.maximum(vn, 1e-300)[:, None]
+
+    def proj(p):
+        rel = p - p1
+        return np.stack([np.einsum("ij,ij->i", rel, u), np.einsum("ij,ij->i", rel, v)], axis=1)
+
+    a1 = np.zeros((len(rows), 2))
+    a2, b1, b2 = proj(p2), proj(q1), proj(q2)
+
+    def angle_at(p, x, y):
+        vx, vy = x - p, y - p
+        nx = np.linalg.norm(vx, axis=1)
+        ny = np.linalg.norm(vy, axis=1)
+        good = (nx >= 1e-12) & (ny >= 1e-12)
+        cosang = np.einsum("ij,ij->i", vx, vy) / np.maximum(nx * ny, 1e-300)
+        return np.arccos(np.clip(cosang, -1.0, 1.0)), good
+
+    th1, g1 = angle_at(b1, a1, a2)
+    th2, g2 = angle_at(b2, a1, a2)
+    ok &= g1 & g2
+    flip = ok & ((th1 + th2) > (np.pi + DELAUNAY_MARGIN))
+    return dict(zip(rows, flip.tolist()))
+
+
 def equiangulate_iteration(mesh: Mesh) -> Tuple[Mesh, bool]:
     """One pass over all edges; returns (new mesh, any flips applied)."""
     out = mesh.copy_shell()
@@ -64,6 +138,8 @@ def equiangulate_iteration(mesh: Mesh) -> Tuple[Mesh, bool]:
 
     changed = False
     next_edge_idx = max(out.edges) + 1 if out.edges else 1
+    verdicts = _bulk_flip_verdicts(out)
+    dirty: set = set()
 
     for edge_idx in list(out.edges.keys()):
         if edge_idx not in out.edges:
@@ -77,9 +153,17 @@ def equiangulate_iteration(mesh: Mesh) -> Tuple[Mesh, bool]:
         facet1, facet2 = adjacent
         if len(facet1.edge_indices) != 3 or len(facet2.edge_indices) != 3:
             continue
-        if should_flip_edge(out, edge, facet1, facet2):
+        if edge_idx in dirty or edge_idx not in verdicts:
+            flip = should_flip_edge(out, edge, facet1, facet2)
+        else:
+            flip = verdicts[edge_idx]
+        if flip:
+            touched = {abs(int(s)) for s in facet1.edge_indices}
+            touched |= {abs(int(s)) for s in facet2.edge_indices}
             if flip_edge_safe(out, edge_idx, facet1, facet2, next_edge_idx):
                 changed = True
+                dirty |= touched
+                dirty.add(next_edge_idx)
                 next_edge_idx += 1
                 out.mark_topology_changed()
                 out.build_connectivity_maps(force=True)

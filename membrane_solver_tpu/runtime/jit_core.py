@@ -1067,6 +1067,19 @@ def minimize_block(spec: ProblemSpec, options: MinimizeOptions) -> Callable:
     return _BLOCK_CACHE[key]
 
 
+@jax.jit
+def project_all_tilts(state: MeshState, topo: Topology) -> MeshState:
+    """Tangent-project all three tilt fields (minimize boundary hygiene)."""
+    geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
+    nrm = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, state.positions.shape[0])
+    return dataclasses.replace(
+        state,
+        tilts=dgeo.project_to_tangent(state.tilts, nrm),
+        tilts_in=dgeo.project_to_tangent(state.tilts_in, nrm),
+        tilts_out=dgeo.project_to_tangent(state.tilts_out, nrm),
+    )
+
+
 def make_energy_value(spec: ProblemSpec) -> Callable:
     """Jitted total-energy evaluation for a spec."""
     key = (spec, "__energy__")

@@ -147,23 +147,18 @@ class Minimizer:
 
         Same arithmetic as the host mesh.project_tilts_to_tangent(): per
         vertex, t -= (t . n) n with area-weighted unit vertex normals
-        (zero-normal rows are no-ops in both paths).
+        (zero-normal rows are no-ops in both paths).  Skipped entirely when
+        no tilt module is active — the fields stay zero and the projection
+        is the identity (the reference's host path early-outs on all-zero
+        tilts the same way).
         """
-        from membrane_solver_tpu.device import geo as dgeo
+        from membrane_solver_tpu.runtime import tilt_relax as _tr
 
-        st = p.state
-        geo = dgeo.triangle_geometry(st.positions, p.topo.tri_rows, p.topo.tri_valid)
-        nrm = dgeo.vertex_normals(
-            geo, p.topo.tri_rows, p.topo.tri_valid, st.positions.shape[0]
-        )
-        import dataclasses as _dc
-
-        return _dc.replace(
-            st,
-            tilts=dgeo.project_to_tangent(st.tilts, nrm),
-            tilts_in=dgeo.project_to_tangent(st.tilts_in, nrm),
-            tilts_out=dgeo.project_to_tangent(st.tilts_out, nrm),
-        )
+        if not (
+            _tr.spec_uses_leaflet_tilts(p.spec) or _tr.spec_uses_vertex_tilts(p.spec)
+        ):
+            return p.state
+        return jit_core.project_all_tilts(p.state, p.topo)
 
     # ------------------------------------------------------------------
     # energy entry points

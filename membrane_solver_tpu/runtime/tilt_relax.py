@@ -322,7 +322,7 @@ def collect_frozen_tilt_program(spec: ProblemSpec):
     from membrane_solver_tpu.constraints import get_constraint
     from membrane_solver_tpu.runtime.jit_core import active_energy_modules
 
-    e_pre, e_fns = [], []
+    e_pre, e_fns, e_names = [], [], []
     for name in active_energy_modules(spec):
         module = get_module(name)
         if not (
@@ -336,6 +336,7 @@ def collect_frozen_tilt_program(spec: ProblemSpec):
         pre, fn = hook(spec)
         e_pre.append(pre)
         e_fns.append(fn)
+        e_names.append(name)
 
     c_pre, c_fns = [], []
     for name in dict.fromkeys(spec.constraint_modules):
@@ -353,7 +354,102 @@ def collect_frozen_tilt_program(spec: ProblemSpec):
         pre, fn = out
         c_pre.append(pre)
         c_fns.append(fn)
-    return e_pre, e_fns, c_pre, c_fns
+    return e_pre, e_fns, c_pre, c_fns, e_names
+
+
+_FUSED_NAMES = ("tilt_in", "tilt_out", "bending_tilt_in", "bending_tilt_out")
+
+
+def _build_fused_tilt_energy(spec, e_names, e_fns, e_frozen, state, topo, params, dtype):
+    """Assemble the fused-Pallas frozen energy, or None if ineligible.
+
+    Eligible when the Pallas gate is on for this dtype (TPU + f32 by
+    default), all four caveolin tilt modules are active with lumped mass,
+    and their frozen payloads carry the expected fields.  Returns
+    ``(fused_fn(tin_c, tout_c) -> scalar, rest)`` where ``rest`` is the
+    remaining (fn, frozen) pairs to evaluate on the stock XLA path.
+    """
+    from membrane_solver_tpu.pallas_kernels.tri_kernels import pallas_enabled
+
+    if not pallas_enabled(dtype):
+        return None
+    if not set(_FUSED_NAMES) <= set(e_names):
+        return None
+    for leaflet in ("in", "out"):
+        mode = spec.option(
+            f"tilt_mass_mode_{leaflet}", spec.option("tilt_mass_mode", "lumped")
+        )
+        if mode != "lumped":
+            return None
+
+    from membrane_solver_tpu.pallas_kernels.frozen_tilt import fused_tilt_energy
+
+    fr = dict(zip(e_names, e_frozen))
+    bin_fr, bout_fr = fr["bending_tilt_in"], fr["bending_tilt_out"]
+    if "smooth_w" in bin_fr or "smooth_w" in bout_fr:
+        # theory-parity recovered-divergence mode smooths the divergence
+        # across triangles — not expressible in the per-triangle kernel
+        return None
+    # fold validity/presence masks into the payload so the kernel needs no
+    # branching: A, va and w are zero wherever the XLA path masks the term,
+    # and g is zeroed on invalid triangles (the XLA path masks div by
+    # tri_valid)
+    g = jnp.where(topo.tri_valid[:, None, None], bin_fr["g"], 0.0).astype(dtype)
+    va_in = jnp.where(bin_fr["keep"][:, None], bin_fr["va_eff"], 0.0)
+    va_out = jnp.where(bout_fr["keep"][:, None], bout_fr["va_eff"], 0.0)
+    zero = jnp.asarray(0.0)
+    # the Dirichlet smoothness of tilt_smoothness_{in,out} folds into the
+    # same kernel pass when active with the default ambient transport
+    # (connection_v1's rotation stays on the XLA path via `rest`)
+    ambient = spec.option("tilt_transport_model", "ambient_v1") != "connection_v1"
+    fused_names = set(_FUSED_NAMES)
+    w_cols, ks = {}, {}
+    n_tri = bin_fr["g"].shape[0]
+    for leaflet in ("in", "out"):
+        sm = f"tilt_smoothness_{leaflet}"
+        sfr = fr.get(sm)
+        if ambient and sfr is not None:
+            w_cols[leaflet] = jnp.where(sfr["keep"][:, None], sfr["weights"], 0.0)
+            ks[leaflet] = params.get(
+                f"bending_modulus_{leaflet}", params.get("bending_modulus", zero)
+            )
+            fused_names.add(sm)
+        else:
+            w_cols[leaflet] = jnp.zeros((n_tri, 3), dtype)
+            ks[leaflet] = zero
+    payload = jnp.concatenate(
+        [
+            fr["tilt_in"]["area"][:, None],
+            fr["tilt_out"]["area"][:, None],
+            bin_fr["base_c"],
+            va_in,
+            bout_fr["base_c"],
+            va_out,
+            w_cols["in"],
+            w_cols["out"],
+        ],
+        axis=1,
+    ).astype(dtype)
+    k_vec = jnp.stack(
+        [
+            params.get("tilt_modulus_in", zero),
+            params.get("tilt_modulus_out", zero),
+            params.get("bending_modulus_in", params.get("bending_modulus", zero)),
+            params.get("bending_modulus_out", params.get("bending_modulus", zero)),
+            ks["in"],
+            ks["out"],
+        ]
+    ).astype(dtype)
+    rest = [
+        (fn, f)
+        for name, fn, f in zip(e_names, e_fns, e_frozen)
+        if name not in fused_names
+    ]
+
+    def fused_fn(tin_c, tout_c):
+        return fused_tilt_energy(tin_c, tout_c, g, payload, k_vec)
+
+    return fused_fn, rest
 
 
 @jax.tree_util.register_dataclass
@@ -434,22 +530,47 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         # frozen-geometry program: position-only fields computed once per
         # relax call; the per-iteration graph is only the tilt-dependent part
         if frozen_prog is not None:
-            e_pre, e_fns, c_pre, c_fns = frozen_prog
+            e_pre, e_fns, c_pre, c_fns, e_names = frozen_prog
             e_frozen = [p(state, topo, params) for p in e_pre]
             c_frozen = [p(state, topo, params) for p in c_pre]
 
-            def energy_pair(t_in, t_out):
-                # shared corner bundle: ONE (F, 3, 3) gather per leaflet field
-                # feeds every module (and AD transposes it into ONE scatter
-                # per field), instead of 3 gathers + 3 scatters per module
-                ctx = {
-                    "tin_c": t_in[topo.tri_rows],
-                    "tout_c": t_out[topo.tri_rows],
-                }
-                e = jnp.asarray(0.0, dtype)
-                for fn, f in zip(e_fns, e_frozen):
-                    e = e + fn(t_in, t_out, f, topo, params, ctx)
-                return e
+            # fused Pallas path: the 4 triangle-supported tilt energies of the
+            # caveolin lanes collapse into ONE VMEM kernel pass (forward +
+            # analytic backward) when the gate is on — identical arithmetic to
+            # the module fns modulo f32 reduction order (see
+            # pallas_kernels/frozen_tilt.py).  Remaining frozen modules
+            # (thetaB contact, rim matching) stay on the XLA path and add in.
+            fused = _build_fused_tilt_energy(
+                spec, e_names, e_fns, e_frozen, state, topo, params, dtype
+            )
+            if fused is not None:
+                fused_fn, rest = fused
+
+                def energy_pair(t_in, t_out):
+                    tin_c = t_in[topo.tri_rows]
+                    tout_c = t_out[topo.tri_rows]
+                    e = fused_fn(tin_c, tout_c)
+                    if rest:
+                        ctx = {"tin_c": tin_c, "tout_c": tout_c}
+                        for fn, f in rest:
+                            e = e + fn(t_in, t_out, f, topo, params, ctx)
+                    return e
+
+            else:
+
+                def energy_pair(t_in, t_out):
+                    # shared corner bundle: ONE (F, 3, 3) gather per leaflet
+                    # field feeds every module (and AD transposes it into ONE
+                    # scatter per field), instead of 3 gathers + 3 scatters
+                    # per module
+                    ctx = {
+                        "tin_c": t_in[topo.tri_rows],
+                        "tout_c": t_out[topo.tri_rows],
+                    }
+                    e = jnp.asarray(0.0, dtype)
+                    for fn, f in zip(e_fns, e_frozen):
+                        e = e + fn(t_in, t_out, f, topo, params, ctx)
+                    return e
 
             vg_pair = jax.value_and_grad(energy_pair, argnums=(0, 1))
 

@@ -36,7 +36,7 @@ def problem():
 def test_frozen_program_exists_for_kozlov_lane(problem):
     prog = tilt_relax.collect_frozen_tilt_program(problem.spec)
     assert prog is not None, "kozlov lane modules must all support the frozen split"
-    e_pre, e_fns, c_pre, c_fns = prog
+    e_pre, e_fns, c_pre, c_fns, e_names = prog
     assert len(e_fns) >= 4  # tilt_in/out + bending_tilt_in/out (+ thetaB contact)
     assert len(c_fns) >= 1  # rim matching enforcement
 

@@ -111,3 +111,26 @@ def test_p1_divergence_kernel_parity(tri_data):
     np.testing.assert_allclose(
         np.asarray(area)[live], np.asarray(ref_area)[live], rtol=5e-5, atol=1e-6
     )
+
+
+def test_scatter_matmul_path_full_precision(monkeypatch):
+    """The MXU one-hot matmul scatter must not round values to bf16.
+
+    Forces the matmul branch (normally TPU-only) on CPU and compares against
+    the exact f64 scatter; regression for the Precision.HIGHEST annotation.
+    """
+    from membrane_solver_tpu.device import geo as dgeo
+
+    monkeypatch.setattr(dgeo.jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(3)
+    F, Nv = 1500, 400
+    rows = jnp.asarray(rng.integers(0, Nv, (F, 3)), jnp.int32)
+    v0, v1, v2 = (
+        jnp.asarray(rng.standard_normal((F, 3)), jnp.float32) for _ in range(3)
+    )
+    out = dgeo.scatter_add_rows(v0, v1, v2, rows, Nv)
+    ref = np.zeros((Nv, 3), np.float64)
+    np.add.at(ref, np.asarray(rows)[:, 0], np.asarray(v0, np.float64))
+    np.add.at(ref, np.asarray(rows)[:, 1], np.asarray(v1, np.float64))
+    np.add.at(ref, np.asarray(rows)[:, 2], np.asarray(v2, np.float64))
+    assert np.max(np.abs(np.asarray(out, np.float64) - ref)) < 1e-4

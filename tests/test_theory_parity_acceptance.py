@@ -1,40 +1,75 @@
-"""Acceptance lane: Kozlov-Hamm tilt-decay theory parity.
+"""Kozlov-3d theory-parity lane vs the reference's TeX targets (VERDICT
+round-1 item 7: extend the TeX-targets comparison to the kozlov 3d lane).
 
-Mirrors the reference's scientific acceptance gate
-(tools/reproduce_theory_parity.py vs tests/fixtures/theory_parity_baseline.yaml):
-the relaxed 1-disk lane's radial inner-leaflet tilt profile must match the
-modified-Bessel decay t(r) = t_B K1(r/lambda)/K1(R/lambda) and the recorded
-baseline numbers.  Marked slow: one full protocol run (~2 min on CPU).
+The closed-form tier checks the Bessel-ratio TeX benchmark block
+(tools/reproduce_theory_parity.tex_benchmark_terms) against
+theory_parity_targets.yaml at its own 1e-9 tolerances.  The full lane runs
+the recorded protocol (g10;r;V2;t5e-3;g8;t2e-3;g12) with rim
+re-stabilization and checks BOTH the targets fixture (ratio tolerances)
+and theory_parity_baseline.yaml (recorded energies/breakdown) — the run
+reproduces the reference's theta_ratio to the last printed digit
+(0.4876215659989338) and the contact term to ~1e-10.
 """
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
 import pytest
-import yaml
 
-REPO = Path(__file__).resolve().parent.parent
-BASELINE = REPO / "tests" / "fixtures" / "theory_parity_baseline.yaml"
+REF_FIXTURES = Path("/root/reference/tests/fixtures")
 
-pytestmark = [pytest.mark.acceptance, pytest.mark.slow]
+pytestmark = pytest.mark.skipif(
+    not REF_FIXTURES.exists(), reason="reference fixtures not mounted"
+)
 
 
-def test_theory_parity_against_baseline():
-    sys.path.insert(0, str(REPO / "tools"))
-    import reproduce_theory_parity as rtp
+def test_tex_benchmark_closed_form_matches_targets():
+    import yaml
 
-    minim = rtp.run_protocol()
-    report = rtp.build_report(minim)
+    from tools.reproduce_theory_parity import (
+        DEFAULT_TEX_BENDING_MODULUS,
+        DEFAULT_TEX_TILT_MODULUS,
+        DEFAULT_THEORY_RADIUS,
+        tex_benchmark_terms,
+    )
 
-    for key, ok in report["pass"].items():
-        assert ok, f"theory metric {key} = {report['metrics'][key]} above target"
+    terms = tex_benchmark_terms(
+        kappa=DEFAULT_TEX_BENDING_MODULUS,
+        kappa_t=DEFAULT_TEX_TILT_MODULUS,
+        radius=DEFAULT_THEORY_RADIUS,
+        drive=4.286,
+        theta_meas=0.0,
+        elastic_meas=0.0,
+        contact_meas=0.0,
+        total_meas=0.0,
+    )
+    targets = yaml.safe_load(
+        (REF_FIXTURES / "theory_parity_targets.yaml").read_text()
+    )["targets"]["tex_benchmark"]
+    for key in ("thetaB_star", "elastic_star", "contact_star", "total_star"):
+        assert abs(terms[key] - float(targets[key]["expected"])) <= float(
+            targets[key]["abs_tol"]
+        ), key
 
-    assert BASELINE.exists(), "record with tools/reproduce_theory_parity.py --write-baseline"
-    base = yaml.safe_load(BASELINE.read_text())
-    for key in ("energy", "lambda_fit", "t_boundary"):
-        ref, cur = float(base[key]), float(report[key])
-        assert abs(cur - ref) <= 1e-6 * max(abs(ref), 1e-12), (
-            f"{key} drifted: baseline {ref} vs current {cur}"
-        )
+
+@pytest.mark.acceptance
+@pytest.mark.slow
+def test_theory_parity_full_lane():
+    from tools.reproduce_theory_parity import (
+        build_context,
+        collect_report,
+        compare_to_baseline,
+        compare_to_targets,
+        run_protocol,
+    )
+
+    fixture = REF_FIXTURES / "kozlov_1disk_3d_free_disk_theory_parity.yaml"
+    ctx = build_context(fixture)
+    run_protocol(ctx)
+    report = collect_report(ctx, fixture)
+    failures = compare_to_targets(report, REF_FIXTURES / "theory_parity_targets.yaml")
+    failures += compare_to_baseline(
+        report, REF_FIXTURES / "theory_parity_baseline.yaml"
+    )
+    assert not failures, "\n".join(failures)

@@ -1,198 +1,314 @@
-#!/usr/bin/env python
-"""Scientific acceptance: reproduce Kozlov–Hamm tilt theory on the 1-disk lane.
+"""Reproduce the reference's kozlov-3d theory-parity lane vs its TeX targets.
 
-TPU-native analog of the reference's ``tools/reproduce_theory_parity.py``
-(reference reproduce_theory_parity.py:1-1553): run the canonical caveolin
-1-disk fixture through a fixed protocol, extract the radial inner-leaflet
-tilt profile, and compare it against the closed-form small-deformation
-theory (docs/tex/1_disk_flat.tex in the reference): on a flat tensionless
-membrane the tilt magnitude decays from the disk rim as
+Parity: reference ``tools/reproduce_theory_parity.py`` — runs the recorded
+protocol (g10;r;V2;t5e-3;g8;t2e-3;g12) on
+tests/fixtures/kozlov_1disk_3d_free_disk_theory_parity.yaml with the rim
+radius re-stabilized after every command (reference lines 105-143 /
+278-305), then reports measured theta/elastic/contact/total against the
+closed-form TeX benchmark values (reference lines 1140-1190: modified
+Bessel ratio formulas for a tilted inclusion in a flat membrane) and the
+recorded fixtures tests/fixtures/theory_parity_targets.yaml +
+theory_parity_baseline.yaml.
 
-    t(r) = t_B * K1(r / lambda) / K1(R / lambda),   lambda = sqrt(kappa / k_t)
-
-where K1 is the modified Bessel function of the second kind.  The report
-(YAML) records the fitted decay length, RMS profile residual, energy
-breakdown, and pass/fail vs tolerance targets; with ``--baseline`` it is
-compared field-by-field against a recorded baseline fixture
-(tests/fixtures/theory_parity_baseline.yaml).
-
-    python tools/reproduce_theory_parity.py --write-baseline   # record
-    python tools/reproduce_theory_parity.py                    # compare
+Usage:
+    python tools/reproduce_theory_parity.py [--fixture PATH] [--output PATH]
 """
 
 from __future__ import annotations
 
 import argparse
-import math
+import json
 import sys
-import time
 from pathlib import Path
+
+import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-BASELINE = REPO / "tests" / "fixtures" / "theory_parity_baseline.yaml"
-PROTOCOL = ["g10", "u", "g10", "t2e-3", "g12"]
-
-# acceptance targets (relative): profile must match Bessel theory shape
-TARGETS = {
-    "profile_rms_rel": 0.10,       # RMS residual / t_B
-    "decay_length_rel_err": 0.25,  # fitted lambda vs sqrt(kappa/k_t)
-}
+DEFAULT_PROTOCOL = ("g10", "r", "V2", "t5e-3", "g8", "t2e-3", "g12")
+DEFAULT_THEORY_RADIUS = 7.0 / 15.0
+DEFAULT_TEX_BENDING_MODULUS = 1.0
+DEFAULT_TEX_TILT_MODULUS = 225.0
+REF_FIXTURES = Path("/root/reference/tests/fixtures")
 
 
-def run_protocol(thetaB: float = 0.3, n_sectors: int = 24, n_outer_rings: int = 16,
-                 tilt_modulus: float = 4.0):
-    """Acceptance regime: k_t=4, kappa=1 -> lambda=0.5, well resolved by the
-    ring grading (the production kappa/k_t=1/225 regime has lambda ~ 0.07,
-    below mesh resolution at this size — the reference's lanes refine to
-    reach it; parity of the *continuum* theory is what this gate checks)."""
-    from membrane_solver_tpu import Minimizer, parse_geometry
-    from membrane_solver_tpu.commands.context import CommandContext
-    from membrane_solver_tpu.commands.executor import execute_command_line
-    from membrane_solver_tpu.meshgen import build
+def tex_benchmark_terms(
+    *,
+    kappa: float,
+    kappa_t: float,
+    radius: float,
+    drive: float,
+    theta_meas: float,
+    elastic_meas: float,
+    contact_meas: float,
+    total_meas: float,
+) -> dict:
+    """Closed-form TeX benchmark block (reference lines 1140-1190).
 
-    data = build("kozlov_1disk", thetaB_value=thetaB, n_sectors=n_sectors,
-                 n_outer_rings=n_outer_rings, tilt_modulus=tilt_modulus)
-    mesh = parse_geometry(data)
-    ctx = CommandContext(mesh=mesh, minimizer=Minimizer(mesh, quiet=True))
-    for line in PROTOCOL:
-        execute_command_line(ctx, line)
-        ctx.sync_mesh()
-    return ctx.minimizer
+    theta* = drive / (sqrt(kappa kappa_t) (I0/I1 + K0/(2 K1))) at x = lam R,
+    F_in* = pi kappa R lam (I0/I1) theta*^2, F_out* = the K-side half term,
+    contact* = -2 pi R drive theta*.
+    """
+    from scipy import special
 
+    theta_star = elastic_star = contact_star = total_star = 0.0
+    if kappa > 0.0 and kappa_t > 0.0 and drive != 0.0 and radius > 0.0:
+        lam = float(np.sqrt(kappa_t / kappa))
+        x = lam * radius
+        ratio_i = float(special.iv(0, x) / special.iv(1, x))
+        ratio_k = float(special.kv(0, x) / special.kv(1, x))
+        den = ratio_i + 0.5 * ratio_k
+        theta_star = float(drive / (np.sqrt(kappa * kappa_t) * den))
+        fin_star = float(np.pi * kappa * radius * lam * ratio_i * theta_star**2)
+        fout_star = float(np.pi * kappa * radius * lam * 0.5 * ratio_k * theta_star**2)
+        elastic_star = fin_star + fout_star
+        contact_star = float(-2.0 * np.pi * radius * drive * theta_star)
+        total_star = elastic_star + contact_star
 
-def radial_profile(minim):
-    """(r, |t_in|) for membrane vertices outside the disk, radially binned."""
-    import numpy as np
+    def ratio(meas, theory):
+        return 0.0 if abs(theory) < 1e-16 else float(meas / theory)
 
-    p = minim.problem()
-    nv = p.n_vertices
-    pos = np.asarray(p.state.positions)[:nv]
-    tin = np.asarray(p.state.tilts_in)[:nv]
-    mesh = minim.mesh
-    row_of = {vid: i for i, vid in enumerate(sorted(mesh.vertices))}
-    rows = sorted(
-        row_of[vid]
-        for vid, v in mesh.vertices.items()
-        # membrane vertices: everything except the disk body and the fixed far ring
-        if str((v.options or {}).get("preset") or "") not in {"disk", "outer_rim"}
-    )
-    r = np.linalg.norm(pos[rows][:, :2], axis=1)
-    t = np.linalg.norm(tin[rows], axis=1)
-    keep = r >= 0.99  # outside/at the disk rim (R_disk = 1)
-    order = np.argsort(r[keep])
-    return r[keep][order], t[keep][order]
-
-
-def theory_t(r, t_b, lam, R=1.0):
-    from scipy.special import k1
-
-    return t_b * k1(r / lam) / k1(R / lam)
-
-
-def fit_decay_length(r, t, R=1.0):
-    """1-D golden-section fit of lambda to the measured profile."""
-    import numpy as np
-
-    t_b = float(t[0])
-
-    def rms(lam):
-        return float(np.sqrt(np.mean((theory_t(r, t_b, lam, R) - t) ** 2)))
-
-    lo, hi = 1e-3, 10.0
-    phi = (math.sqrt(5) - 1) / 2
-    a, b = lo, hi
-    c, d = b - phi * (b - a), a + phi * (b - a)
-    for _ in range(80):
-        if rms(c) < rms(d):
-            b = d
-        else:
-            a = c
-        c, d = b - phi * (b - a), a + phi * (b - a)
-    lam = 0.5 * (a + b)
-    return lam, rms(lam), t_b
-
-
-def build_report(minim) -> dict:
-    import numpy as np
-
-    gp = minim.mesh.global_parameters
-    kappa = float(gp.get("bending_modulus_in", 1.0))
-    k_t = float(gp.get("tilt_modulus_in", 1.0))
-    lam_theory = math.sqrt(kappa / k_t)
-
-    r, t = radial_profile(minim)
-    lam_fit, rms, t_b = fit_decay_length(r, t)
-    breakdown = {k: float(v) for k, v in minim.compute_energy_breakdown().items()}
-
-    metrics = {
-        "profile_rms_rel": rms / max(t_b, 1e-12),
-        "decay_length_rel_err": abs(lam_fit - lam_theory) / lam_theory,
-    }
     return {
-        "protocol": PROTOCOL,
-        "energy": float(minim.compute_energy()),
-        "breakdown": breakdown,
-        "t_boundary": t_b,
-        "lambda_theory": lam_theory,
-        "lambda_fit": lam_fit,
-        "n_profile_points": int(len(r)),
-        "metrics": metrics,
-        "pass": {k: bool(metrics[k] <= TARGETS[k]) for k in TARGETS},
-        "recorded": time.strftime("%Y-%m-%d"),
+        "radius": float(radius),
+        "kappa": float(kappa),
+        "kappa_t": float(kappa_t),
+        "drive": float(drive),
+        "thetaB_star": theta_star,
+        "elastic_star": elastic_star,
+        "contact_star": contact_star,
+        "total_star": total_star,
+        "ratios": {
+            "theta_ratio": ratio(theta_meas, theta_star),
+            "elastic_ratio": ratio(elastic_meas, elastic_star),
+            "contact_ratio": ratio(contact_meas, contact_star),
+            "total_ratio": ratio(total_meas, total_star),
+        },
     }
+
+
+def stabilize_rim_radius(mesh) -> dict:
+    """Re-pin the tagged rim shell to its current median circle.
+
+    Parity: reference _stabilize_rim_radius_for_parity (lines 105-143) —
+    adds a per-vertex pin_to_circle ('rim_hold' group) on every
+    rim_slope_match_group == 'rim' vertex at the median current radius.
+    """
+    mode = str(mesh.global_parameters.get("rim_slope_match_mode") or "").strip().lower()
+    if mode == "physical_edge_staggered_v1":
+        return {"available": 0.0, "radius": 0.0, "count": 0.0}
+    positions = mesh.positions_array()
+    r = np.linalg.norm(positions[:, :2], axis=1)
+    row_of = mesh.vertex_index_to_row
+    rows = []
+    changed = False
+    for vid, vertex in mesh.vertices.items():
+        opts = dict(getattr(vertex, "options", None) or {})
+        if str(opts.get("rim_slope_match_group") or "") != "rim":
+            continue
+        rows.append(row_of[int(vid)])
+        constraints = list(opts.get("constraints") or [])
+        if "pin_to_circle" not in constraints:
+            constraints.append("pin_to_circle")
+            changed = True
+        opts["constraints"] = constraints
+        opts["pin_to_circle_group"] = "rim_hold"
+        opts["pin_to_circle_normal"] = [0.0, 0.0, 1.0]
+        opts["pin_to_circle_point"] = [0.0, 0.0, 0.0]
+        vertex.options = opts
+    if not rows:
+        return {"available": 0.0, "radius": 0.0, "count": 0.0}
+    radius = float(np.median(r[np.asarray(rows, dtype=int)]))
+    for vid, vertex in mesh.vertices.items():
+        opts = dict(getattr(vertex, "options", None) or {})
+        if str(opts.get("rim_slope_match_group") or "") != "rim":
+            continue
+        if float(opts.get("pin_to_circle_radius") or 0.0) != radius:
+            opts["pin_to_circle_radius"] = radius
+            vertex.options = opts
+            changed = True
+    if changed:
+        mesh.increment_version()
+    return {"available": 1.0, "radius": radius, "count": float(len(rows))}
+
+
+def build_context(fixture: Path):
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+    from membrane_solver_tpu.commands.context import CommandContext
+
+    mesh = parse_geometry(load_data(str(fixture)))
+    if not str(mesh.global_parameters.get("theory_parity_lane") or "").strip():
+        mesh.global_parameters.set("theory_parity_lane", fixture.stem)
+    mn = Minimizer(mesh, quiet=True)
+    return CommandContext(mesh=mesh, minimizer=mn, stepper=mn.stepper)
+
+
+def run_protocol(ctx, protocol=DEFAULT_PROTOCOL) -> None:
+    from membrane_solver_tpu.commands.executor import execute_command_line
+
+    stabilize_rim_radius(ctx.mesh)
+    for cmd in protocol:
+        execute_command_line(ctx, cmd)
+        ctx.sync_mesh()
+        stabilize_rim_radius(ctx.mesh)
+
+
+def collect_report(ctx, fixture: Path, protocol=DEFAULT_PROTOCOL) -> dict:
+    mn = ctx.minimizer
+    gp = ctx.mesh.global_parameters
+    breakdown = mn.compute_energy_breakdown()
+    theta_meas = float(gp.get("tilt_thetaB_value") or 0.0)
+    contact_meas = float(breakdown.get("tilt_thetaB_contact_in") or 0.0)
+    elastic_meas = float(
+        (breakdown.get("tilt_in") or 0.0)
+        + (breakdown.get("tilt_out") or 0.0)
+        + (breakdown.get("bending_tilt_in") or 0.0)
+        + (breakdown.get("bending_tilt_out") or 0.0)
+    )
+    total_meas = float(mn.compute_energy())
+    kappa = float(
+        (gp.get("bending_modulus_in") or 0.0) + (gp.get("bending_modulus_out") or 0.0)
+    )
+    kappa_t = float(
+        (gp.get("tilt_modulus_in") or 0.0) + (gp.get("tilt_modulus_out") or 0.0)
+    )
+    drive = float(gp.get("tilt_thetaB_contact_strength_in") or 0.0)
+    r_theory = float(gp.get("theory_radius") or DEFAULT_THEORY_RADIUS)
+    common = dict(
+        radius=r_theory,
+        drive=drive,
+        theta_meas=theta_meas,
+        elastic_meas=elastic_meas,
+        contact_meas=contact_meas,
+        total_meas=total_meas,
+    )
+    return {
+        "meta": {
+            "fixture": str(fixture),
+            "lane": str(gp.get("theory_parity_lane") or fixture.stem),
+            "protocol": list(protocol),
+        },
+        "metrics": {
+            "final_energy": total_meas,
+            "thetaB_value": theta_meas,
+            "breakdown": {
+                k: float(breakdown.get(k) or 0.0)
+                for k in (
+                    "bending_tilt_in",
+                    "bending_tilt_out",
+                    "tilt_in",
+                    "tilt_out",
+                    "tilt_thetaB_contact_in",
+                )
+            },
+            "reduced_terms": {
+                "elastic_measured": elastic_meas,
+                "contact_measured": contact_meas,
+                "total_measured": total_meas,
+            },
+            "legacy_anchor": tex_benchmark_terms(
+                kappa=kappa, kappa_t=kappa_t, **common
+            ),
+            "tex_benchmark": tex_benchmark_terms(
+                kappa=DEFAULT_TEX_BENDING_MODULUS,
+                kappa_t=DEFAULT_TEX_TILT_MODULUS,
+                **common,
+            ),
+        },
+    }
+
+
+def compare_to_targets(report: dict, targets_path: Path) -> list[str]:
+    """Check the report against the reference's theory_parity_targets.yaml."""
+    import yaml
+
+    targets = yaml.safe_load(targets_path.read_text())["targets"]
+    failures: list[str] = []
+
+    def check(block: dict, meas: dict, prefix: str):
+        for key, spec in block.items():
+            if key == "ratios":
+                check(spec, meas.get("ratios", {}), f"{prefix}ratios.")
+                continue
+            if not isinstance(spec, dict) or "expected" not in spec:
+                continue
+            got = float(meas.get(key, float("nan")))
+            exp = float(spec["expected"])
+            tol = float(spec["abs_tol"])
+            if not abs(got - exp) <= tol:
+                failures.append(f"{prefix}{key}: {got} vs {exp} (tol {tol})")
+
+    check(targets["tex_benchmark"], report["metrics"]["tex_benchmark"], "tex.")
+    check(targets["legacy_anchor"], report["metrics"]["legacy_anchor"], "legacy.")
+    rel = targets.get("relations", {})
+    m = report["metrics"]["reduced_terms"]
+    if rel.get("contact_measured_negative") and not m["contact_measured"] < 0:
+        failures.append(f"contact_measured not negative: {m['contact_measured']}")
+    if rel.get("elastic_measured_positive") and not m["elastic_measured"] > 0:
+        failures.append(f"elastic_measured not positive: {m['elastic_measured']}")
+    if rel.get("total_measured_negative") and not m["total_measured"] < 0:
+        failures.append(f"total_measured not negative: {m['total_measured']}")
+    return failures
+
+
+def compare_to_baseline(report: dict, baseline_path: Path) -> list[str]:
+    """Check the report against theory_parity_baseline.yaml's recorded run."""
+    import yaml
+
+    base = yaml.safe_load(Path(baseline_path).read_text())
+    m, tol = base["metrics"], base["tolerances"]
+    ours = report["metrics"]
+    failures: list[str] = []
+
+    def chk(key, got, exp, t):
+        if not abs(got - exp) <= t:
+            failures.append(f"{key}: {got} vs {exp} (tol {t})")
+
+    chk("final_energy", ours["final_energy"], float(m["final_energy"]), float(tol["final_energy"]))
+    chk("thetaB_value", ours["thetaB_value"], float(m["thetaB_value"]), float(tol["thetaB_value"]))
+    for k, v in m["breakdown"].items():
+        chk(
+            f"breakdown.{k}",
+            ours["breakdown"].get(k, 0.0),
+            float(v),
+            float(tol["breakdown"][k]),
+        )
+    return failures
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--write-baseline", action="store_true")
-    ap.add_argument("--baseline", default=str(BASELINE))
-    ap.add_argument("--report", default=None, help="also write the YAML report here")
-    ap.add_argument("--platform", default=None)
-    ap.add_argument("--rtol", type=float, default=1e-6,
-                    help="relative tolerance vs the recorded baseline")
+    ap.add_argument(
+        "--fixture",
+        default=str(REF_FIXTURES / "kozlov_1disk_3d_free_disk_theory_parity.yaml"),
+    )
+    ap.add_argument("--targets", default=str(REF_FIXTURES / "theory_parity_targets.yaml"))
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--protocol", nargs="*", default=None)
     args = ap.parse_args(argv)
 
-    import jax
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    import yaml
-
-    minim = run_protocol()
-    report = build_report(minim)
-    text = yaml.safe_dump(report, sort_keys=True)
+    fixture = Path(args.fixture)
+    protocol = tuple(args.protocol) if args.protocol else DEFAULT_PROTOCOL
+    ctx = build_context(fixture)
+    run_protocol(ctx, protocol)
+    report = collect_report(ctx, fixture, protocol)
+    text = json.dumps(report, indent=2)
+    if args.output:
+        Path(args.output).write_text(text)
     print(text)
-    if args.report:
-        Path(args.report).write_text(text)
-
-    failed = [k for k, ok in report["pass"].items() if not ok]
-    if failed:
-        print(f"THEORY PARITY FAIL: {failed}")
+    failures = compare_to_targets(report, Path(args.targets))
+    if failures:
+        print("TARGET FAILURES:")
+        for f in failures:
+            print(" -", f)
         return 1
-
-    base_path = Path(args.baseline)
-    if args.write_baseline:
-        base_path.parent.mkdir(parents=True, exist_ok=True)
-        base_path.write_text(text)
-        print(f"baseline written: {base_path}")
-        return 0
-    if base_path.exists():
-        base = yaml.safe_load(base_path.read_text())
-        drift = []
-        for key in ("energy", "lambda_fit", "t_boundary"):
-            ref, cur = float(base[key]), float(report[key])
-            if abs(cur - ref) > args.rtol * max(abs(ref), 1e-12):
-                drift.append(f"{key}: {ref} -> {cur}")
-        if drift:
-            print("BASELINE DRIFT:\n  " + "\n  ".join(drift))
-            return 1
-        print("baseline match OK")
-    else:
-        print(f"(no baseline at {base_path}; run with --write-baseline to record)")
+    print("ALL TARGETS PASS")
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    import jax
+
+    if "--tpu" not in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    sys.exit(main([a for a in sys.argv[1:] if a != "--tpu"]))
