@@ -56,8 +56,29 @@ def _order_by_angle(positions, rows):
 
 
 def _match_by_azimuth(source_phi, target_rows, target_phi):
-    diff = np.abs(source_phi[:, None] - target_phi[None, :])
-    diff = np.minimum(diff, 2.0 * np.pi - diff)
+    """Match ordered rows by azimuth; cyclic-shift alignment on equal counts.
+
+    Parity: reference local_interface_shells._match_rows_by_azimuth — when
+    the ring counts agree the match is the cyclic roll minimizing the mean
+    wrapped angular gap (preserves cyclic order); otherwise per-row nearest.
+    """
+    source_phi = np.asarray(source_phi, dtype=float)
+    target_rows = np.asarray(target_rows, dtype=int)
+    target_phi = np.asarray(target_phi, dtype=float)
+
+    def wrapped(a, b):
+        d = np.abs(a - b)
+        return np.minimum(d, 2.0 * np.pi - d)
+
+    if source_phi.size == target_rows.size and source_phi.size > 0:
+        best_shift, best_cost = 0, float("inf")
+        for shift in range(source_phi.size):
+            cost = float(np.mean(wrapped(source_phi, np.roll(target_phi, -shift))))
+            if cost < best_cost:
+                best_cost, best_shift = cost, shift
+        return np.asarray(np.roll(target_rows, -best_shift), dtype=int)
+
+    diff = wrapped(source_phi[:, None], target_phi[None, :])
     return np.asarray(target_rows[np.argmin(diff, axis=1)], dtype=int)
 
 

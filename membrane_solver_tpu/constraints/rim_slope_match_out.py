@@ -79,15 +79,47 @@ def _groups(gp):
 
 def compile_static(layout):
     """Hashable mode flags:
-    (active, has_disk, interp_outer, local_disk, theta_is_param, staggered).
+    (active, has_disk, interp_outer, local_disk, theta_is_param, staggered,
+    disk_targeting).
 
-    ``staggered`` selects the shared_rim_staggered_v1 tilt-target placement:
-    the matching conditions act on the interpolated OUTER-ring rows instead
-    of the rim row (reference rim_slope_match_params.py:
+    ``staggered`` selects the outer-shell tilt-target placement
+    (shared_rim_staggered_v1 and physical_edge_staggered_v1): the OUT
+    matching condition acts on the (interpolated) outer-ring rows instead of
+    the rim row (reference rim_slope_match_params.py:
     _uses_outer_shell_tilt_matching, rim_slope_match_utils.py:16-59).
+    ``disk_targeting`` selects the physical_edge inner law (reference
+    _use_disk_theta_targeting + _disk_theta_rows_weights_and_direction):
+    the IN condition acts on the disk-boundary row itself along the raw
+    planar radial with the scalar theta_B target.
     """
     gp = layout.mesh.global_parameters
     mode, group, outer_group, disk_group = _groups(gp)
+    if mode == "physical_edge_staggered_v1":
+        # scaffold-trace lanes (parity_outer_shells > 0) not supported yet
+        if int(gp.get("parity_outer_shells") or 0) > 0:
+            raise NotImplementedError(
+                "physical_edge_staggered_v1 scaffold-trace lanes "
+                "(parity_outer_shells > 0) are not supported yet"
+            )
+        from membrane_solver_tpu.constraints.local_interface_shells import (
+            build_shell_rows,
+        )
+
+        interface_group = disk_group or group
+        if interface_group is None:
+            return ("inactive",)
+        shells = build_shell_rows(layout, group=str(interface_group))
+        if shells is None or shells.disk_rows.size == 0:
+            return ("inactive",)
+        return (
+            "active",
+            True,   # has_disk (the disk ring IS the rim ring)
+            False,  # shells are 1:1 azimuth-aligned, no interp
+            True,   # local_disk
+            gp.get("rim_slope_match_thetaB_param") is not None,
+            True,   # outer-shell (staggered) OUT placement
+            True,   # disk-targeted IN law
+        )
     if (
         mode not in {"pointwise_radial_v1", "shared_rim_staggered_v1"}
         or group is None
@@ -110,6 +142,7 @@ def compile_static(layout):
         bool(disk) and len(disk) == len(rim),
         gp.get("rim_slope_match_thetaB_param") is not None,
         mode == "shared_rim_staggered_v1",
+        False,
     )
 
 
@@ -135,10 +168,54 @@ def compile_topology(layout) -> dict:
     normal = np.asarray(gp.get("rim_slope_match_normal") or [0, 0, 1], dtype=float)
     normal /= max(np.linalg.norm(normal), 1e-15)
 
+    if mode == "physical_edge_staggered_v1":
+        # physical-edge local shells: the "rim" of the matching is the disk
+        # boundary ring and the "outer" is the first free-membrane shell,
+        # 1:1 azimuth-aligned (reference rim_slope_match_payload.py:88-123)
+        from membrane_solver_tpu.constraints.local_interface_shells import (
+            build_shell_rows,
+        )
+
+        interface_group = disk_group or group
+        shells = (
+            build_shell_rows(layout, group=str(interface_group))
+            if interface_group is not None
+            else None
+        )
+        empty = {
+            "rim": np.zeros(1, dtype=np.int32),
+            "outer": np.zeros(1, dtype=np.int32),
+            "disk": np.zeros(1, dtype=np.int32),
+            "valid": np.zeros(1, dtype=bool),
+            "outer_valid": np.zeros(1, dtype=bool),
+            "disk_valid": np.zeros(1, dtype=bool),
+            "center": center,
+            "normal": normal,
+        }
+        if shells is None or shells.disk_rows.size == 0:
+            return empty
+        rim = [int(r) for r in shells.disk_rows]
+        outer = [int(r) for r in shells.rim_rows_for_disk]
+        rim_arr, rim_valid = _pad_ring(layout, rim)
+        outer_arr, outer_valid = _pad_ring(layout, outer)
+        return {
+            "rim": rim_arr,
+            "outer": outer_arr,
+            "disk": rim_arr,
+            "valid": rim_valid,
+            "outer_valid": outer_valid,
+            "disk_valid": rim_valid,
+            "center": center,
+            "normal": normal,
+            "shell_radii": np.asarray(
+                [shells.disk_radius, shells.rim_radius, shells.outer_radius]
+            ),
+        }
     if mode not in {"pointwise_radial_v1", "shared_rim_staggered_v1"}:
         raise NotImplementedError(
             f"rim_slope_match mode {mode!r} is not supported yet "
-            "(pointwise_radial_v1 and shared_rim_staggered_v1 only)"
+            "(pointwise_radial_v1, shared_rim_staggered_v1 and "
+            "physical_edge_staggered_v1 only)"
         )
     if disk_group is not None and str(disk_group) == str(group or ""):
         disk_group = None  # reference _sanitize_disk_group (all non-physical modes)
@@ -398,6 +475,13 @@ def _spec_staggered(spec) -> bool:
     return flags[0] == "active" and len(flags) > 5 and bool(flags[5])
 
 
+def _spec_disk_targeting(spec) -> bool:
+    """physical_edge inner law: IN condition on the disk-boundary row itself
+    along the raw planar radial (reference _use_disk_theta_targeting)."""
+    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
+    return flags[0] == "active" and len(flags) > 6 and bool(flags[6])
+
+
 def _theta_targets(tilts_in, positions, topo, params, phi, flags):
     """Per-rim-index theta_disk target (rim_slope_match_out.py:82-101)."""
     has_disk, _interp_outer, local_disk, theta_is_param = flags
@@ -421,6 +505,8 @@ def make_enforce_tilts(spec):
         return None
     has_disk, interp_outer, local_disk, theta_is_param = flags
     staggered = _spec_staggered(spec)
+
+    disk_targeting = _spec_disk_targeting(spec)
 
     def enforce(state, topo, params):
         """Project tilts onto the matching conditions (pointwise/staggered)."""
@@ -450,11 +536,21 @@ def make_enforce_tilts(spec):
             )
 
             theta_i = _theta_targets(tilts_in, positions, topo, params, phi, flags)
-            ok_in = use & ~(fi[row0] | (fi[row1] & second))
-            tilts_in = _staggered_enforce_field(
-                tilts_in, row0, row1, w0, w1, r_dir, ok_in, denom, theta_i - phi,
-                sequential=interp_outer,
-            )
+            if disk_targeting:
+                # physical_edge IN law: t_in[rim_i] . r_hat_i = theta - phi_i
+                # on the disk-boundary row along the RAW planar radial
+                # (reference rim_slope_match_out.py:246-293 via
+                # _disk_theta_rows_weights_and_direction, local_disk)
+                ok_in = use & ~fi[rim]
+                t_in_rad = jnp.sum(tilts_in[rim] * r_hat, axis=1)
+                delta_in = jnp.where(ok_in, (theta_i - phi) - t_in_rad, 0.0)
+                tilts_in = tilts_in.at[rim].add(delta_in[:, None] * r_hat)
+            else:
+                ok_in = use & ~(fi[row0] | (fi[row1] & second))
+                tilts_in = _staggered_enforce_field(
+                    tilts_in, row0, row1, w0, w1, r_dir, ok_in, denom, theta_i - phi,
+                    sequential=interp_outer,
+                )
             return dataclasses.replace(state, tilts_in=tilts_in, tilts_out=tilts_out)
 
         r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
@@ -490,6 +586,7 @@ def make_frozen_enforce_tilts(spec):
         return None
     has_disk, interp_outer, local_disk, theta_is_param = flags
     staggered = _spec_staggered(spec)
+    disk_targeting = _spec_disk_targeting(spec)
 
     def _frozen_theta(tin, fr, params, phi):
         if theta_is_param or not has_disk:
@@ -533,6 +630,10 @@ def make_frozen_enforce_tilts(spec):
                 "ok_out": use & ~(fo[row0] | (fo[row1] & second)),
                 "ok_in": use & ~(fi[row0] | (fi[row1] & second)),
             }
+            if disk_targeting:
+                fr["rim"] = rim
+                fr["r_hat"] = r_hat
+                fr["ok_in"] = use & ~fi[rim]
         else:
             r_dir, dir_ok = _tangent_radial(r_hat, vnormals, rim)
             use = valid & dir_ok
@@ -561,10 +662,16 @@ def make_frozen_enforce_tilts(spec):
                 sequential=interp_outer,
             )
             theta_i = _frozen_theta(tin, fr, params, phi)
-            tin = _staggered_enforce_field(
-                tin, row0, row1, w0, w1, r_dir, fr["ok_in"], denom, theta_i - phi,
-                sequential=interp_outer,
-            )
+            if disk_targeting:
+                rim, r_hat = fr["rim"], fr["r_hat"]
+                t_in_rad = jnp.sum(tin[rim] * r_hat, axis=1)
+                delta_in = jnp.where(fr["ok_in"], (theta_i - phi) - t_in_rad, 0.0)
+                tin = tin.at[rim].add(delta_in[:, None] * r_hat)
+            else:
+                tin = _staggered_enforce_field(
+                    tin, row0, row1, w0, w1, r_dir, fr["ok_in"], denom,
+                    theta_i - phi, sequential=interp_outer,
+                )
             return tin, tout
 
         rim = fr["rim"]
@@ -609,6 +716,7 @@ def make_tilt_constraint_rows(spec):
         return lambda state, topo, params: None
     has_disk, interp_outer, local_disk, _theta_is_param = flags
     staggered = _spec_staggered(spec)
+    disk_targeting = _spec_disk_targeting(spec)
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
@@ -650,6 +758,16 @@ def make_tilt_constraint_rows(spec):
         if not has_disk:
             return out_pairs
 
+        if disk_targeting:
+            # physical_edge in-rows: coeff * raw planar r_hat at the
+            # disk-boundary (rim) row only (reference
+            # rim_slope_match_gradients.py:519-536, theta-scalar active)
+            gin = jnp.zeros((k, n_rows, 3), dtype).at[idx, rim].add(
+                coeff[:, None] * r_hat
+            )
+            in_pairs = jnp.stack([gin, zeros], axis=1)
+            return jnp.concatenate([out_pairs, in_pairs], axis=0)
+
         # in rows: coeff * r_dir at the target slots minus the disk-side
         # term (rim_slope_match_utils.py:90-111; theta-scalar lanes without
         # disk-theta targeting use the same structure)
@@ -686,6 +804,7 @@ def make_compact_tilt_rows(spec):
         return lambda state, topo, params: None
     has_disk, interp_outer, local_disk, _theta_is_param = flags
     staggered = _spec_staggered(spec)
+    disk_targeting = _spec_disk_targeting(spec)
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
@@ -725,6 +844,20 @@ def make_compact_tilt_rows(spec):
 
         if not has_disk:
             return out_vals[:, :n_base], out_rows[:, :n_base], out_leaf[:, :n_base]
+
+        if disk_targeting:
+            # physical_edge in-rows: one slot — coeff * raw r_hat at the
+            # disk-boundary (rim) row, inner leaflet
+            pad = [zero_val] * (n_base + 1 - 1)
+            pad_rows = [zero_row] * (n_base + 1 - 1)
+            in_vals = jnp.stack([coeff[:, None] * r_hat] + pad, axis=1)
+            in_rows = jnp.stack([jnp.where(use, rim, 0)] + pad_rows, axis=1)
+            in_leaf = jnp.zeros(in_rows.shape, jnp.int32)
+            return (
+                jnp.concatenate([out_vals, in_vals], axis=0),
+                jnp.concatenate([out_rows, in_rows], axis=0),
+                jnp.concatenate([out_leaf, in_leaf], axis=0),
+            )
 
         disk, dgood, disk_r_hat, dw = _disk_geometry(positions, topo, dtype)
         if local_disk:

@@ -417,6 +417,8 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "tilt_kkt_projection_during_relaxation",
     "tilt_mass_mode_in",
     "tilt_mass_mode_out",
+    "rim_slope_match_kkt_rows",
+    "line_search_reduced_energy",
     "bending_tilt_base_term_reference_mode",
     "bending_tilt_base_term_reference_mode_in",
     "bending_tilt_base_term_reference_mode_out",

@@ -36,10 +36,38 @@ from membrane_solver_tpu.device.tilt_ops import p1_triangle_divergence
 USES_TILT_LEAFLETS = True
 
 
+def _redistributed_va(corner_areas, topo, keep):
+    """Boundary-redistributed mixed-Voronoi corner areas, keep-masked."""
+    va = corner_areas
+    tri_is_b = topo.boundary_vertex_mask[topo.tri_rows]
+    interior_c = ~tri_is_b
+    n_int = jnp.sum(interior_c, axis=1)
+    redistribute = (n_int > 0) & jnp.any(tri_is_b, axis=1)
+    b_sum = jnp.sum(jnp.where(tri_is_b, va, 0.0), axis=1)
+    extra = jnp.where(redistribute, b_sum / jnp.maximum(n_int, 1), 0.0)
+    va_eff = jnp.where(
+        redistribute[:, None], jnp.where(interior_c, va + extra[:, None], 0.0), va
+    )
+    return jnp.where(keep[:, None], va_eff, 0.0)
+
+
 def _fields(positions, topo, params, kappa_key, c0_key, tri_present=None):
+    """Full-value leaflet fields: (base, va_eff, a_eff, kappa, interior, extra).
+
+    Parity: reference bt_payload._leaflet_triangle_payload + the field prep
+    in bending_tilt_leaflet.py:430-530 — k_vecs and Voronoi vertex areas
+    come from the FULL mesh (compute_curvature_data, bt_payload.py:95-97);
+    only the per-triangle corner areas / operators are filtered to the
+    kept (leaflet-present) triangles.  ``extra`` carries the curvature
+    intermediates the shape-gradient surrogate needs.
+    """
     n_rows = positions.shape[0]
-    geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
-    vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+    keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
+    geo = dgeo.triangle_geometry(positions, topo.tri_rows, keep)
+    # K_dir/|K| fallback normals come from the KEPT triangle fan
+    # (reference _vertex_normals(mesh, positions, tri_rows) with tri_rows
+    # already filtered)
+    vnormals = dgeo.vertex_normals(geo, topo.tri_rows, keep, n_rows)
     curv = dgeo.curvature_data(positions, topo.tri_rows, topo.tri_valid, n_rows)
     safe_vor = jnp.maximum(curv.vertex_areas, 1e-12)
     H = dgeo.directional_norm(curv.k_vecs, vnormals) / (2.0 * safe_vor)
@@ -52,23 +80,18 @@ def _fields(positions, topo, params, kappa_key, c0_key, tri_present=None):
     interior = topo.vertex_valid & ~topo.boundary_vertex_mask
     base_term = jnp.where(interior, 2.0 * H - c0, 0.0)
 
-    # boundary-redistributed mixed-Voronoi corner areas
-    va = curv.corner_areas
-    tri_is_b = topo.boundary_vertex_mask[topo.tri_rows]
-    interior_c = ~tri_is_b
-    n_int = jnp.sum(interior_c, axis=1)
-    redistribute = (n_int > 0) & jnp.any(tri_is_b, axis=1)
-    b_sum = jnp.sum(jnp.where(tri_is_b, va, 0.0), axis=1)
-    extra = jnp.where(redistribute, b_sum / jnp.maximum(n_int, 1), 0.0)
-    va_eff = jnp.where(
-        redistribute[:, None], jnp.where(interior_c, va + extra[:, None], 0.0), va
-    )
-    keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
-    va_eff = jnp.where(keep[:, None], va_eff, 0.0)
+    va_eff = _redistributed_va(curv.corner_areas, topo, keep)
     a_eff = dgeo.scatter_add_rows(
         va_eff[:, 0], va_eff[:, 1], va_eff[:, 2], topo.tri_rows, n_rows
     )
-    return base_term, va_eff, a_eff, kappa, interior
+    extra = {
+        "H": H,
+        "safe_vor": safe_vor,
+        "k_vecs": curv.k_vecs,
+        "vnormals": vnormals,
+        "keep": keep,
+    }
+    return base_term, va_eff, a_eff, kappa, interior, extra
 
 
 def recovered_divergence(div_term, positions, topo):
@@ -113,7 +136,7 @@ def leaflet_bending_tilt_energy(
     n_rows = positions.shape[0]
 
     # --- corner form at frozen positions: value + exact tilt gradient -----
-    base_f, va_eff_f, a_eff_f, kappa, interior = _fields(
+    base_f, va_eff_f, a_eff_f, kappa, interior, _xf = _fields(
         frozen_x, topo, params, kappa_key, c0_key, tri_present
     )
     base_f = _apply_base_overrides(base_f, zero_base, j0_mask)
@@ -138,13 +161,42 @@ def leaflet_bending_tilt_energy(
     div_eff = jax.lax.stop_gradient(
         jnp.where(a_eff_f > 1e-20, div_eff_num / jnp.maximum(a_eff_f, 1e-20), 0.0)
     )
-    base_x, _va_x, a_eff_x, kappa_x, interior_x = _fields(
+    # Adjoint-form surrogate.  Reference analytic backprop
+    # (bt_gradient.py:20-280): the coefficient VALUES use the full-mesh
+    # curvature (factor_K_vec = kappa*term*ratio*K_dir, fA_eff, fA_vor with
+    # H/A_vor from compute_curvature_data on ALL triangles) while the
+    # gradient OPERATORS (Beltrami + cotan variation + mixed-Voronoi area
+    # variation) run over the KEPT (leaflet-present) triangles only.  The AD
+    # equivalent: stop-gradient coefficients contracted with kept-submesh
+    # position-dependent fields; chain rule makes this identical to AD of
+    # the vertex surrogate when kept == full.
+    base_x, _va_x, a_eff_x, kappa_x, interior_x, xf = _fields(
         positions, topo, params, kappa_key, c0_key, tri_present
     )
     base_x = _apply_base_overrides(base_x, zero_base, j0_mask)
-    term_v = jnp.where(interior_x, base_x + div_eff, 0.0)
-    surrogate = 0.5 * jnp.sum(
-        jnp.where(topo.vertex_valid, kappa_x * term_v**2 * a_eff_x, 0.0)
+    term_v = jnp.where(interior_x & topo.vertex_valid, base_x + div_eff, 0.0)
+    sg = jax.lax.stop_gradient
+    ratio = jnp.where(xf["safe_vor"] > 1e-15, a_eff_x / xf["safe_vor"], 0.0)
+    k_mag = jnp.linalg.norm(xf["k_vecs"], axis=1)
+    k_dir = jnp.where(
+        (k_mag > 1e-15)[:, None],
+        xf["k_vecs"] / jnp.maximum(k_mag, 1e-15)[:, None],
+        xf["vnormals"],
+    )
+    coef_K = sg((kappa_x * term_v * ratio)[:, None] * k_dir)
+    coef_a_eff = sg(0.5 * kappa_x * term_v**2)
+    coef_a_vor = sg(-2.0 * kappa_x * term_v * ratio * xf["H"])
+
+    keep_x = xf["keep"]
+    curv_k = dgeo.curvature_data(positions, topo.tri_rows, keep_x, n_rows)
+    va_k = _redistributed_va(curv_k.corner_areas, topo, keep_x)
+    a_eff_k = dgeo.scatter_add_rows(
+        va_k[:, 0], va_k[:, 1], va_k[:, 2], topo.tri_rows, n_rows
+    )
+    surrogate = (
+        jnp.sum(coef_K * curv_k.k_vecs)
+        + jnp.sum(coef_a_eff * a_eff_k)
+        + jnp.sum(coef_a_vor * curv_k.vertex_areas)
     )
 
     return corner + surrogate - jax.lax.stop_gradient(surrogate)
@@ -237,7 +289,7 @@ def make_leaflet_bending_tilt_frozen(
 
         positions = state.positions
         tri_present = present_triangles(topo, leaflet)
-        base_f, va_eff_f, _a_eff_f, _kappa, _interior = _fields(
+        base_f, va_eff_f, _a_eff_f, _kappa, _interior, _xf = _fields(
             positions, topo, params, kappa_key, c0_key, tri_present
         )
         base_f = _apply_base_overrides(base_f, zero_base, topo.extras.get(j0_key))

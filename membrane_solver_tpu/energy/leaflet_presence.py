@@ -41,6 +41,39 @@ def absent_vertex_rows(layout, leaflet: str) -> np.ndarray:
     return mask
 
 
+def _restore_physical_edge_shell_rows(layout, vmask, leaflet: str) -> None:
+    """Keep physical-edge shell rows present for the outer leaflet.
+
+    Parity: reference leaflet_presence._restore_physical_edge_outer_trace_
+    rows (125-155) — in physical_edge_staggered_v1 mode the disk-boundary
+    ring and the first two free shells stay PRESENT for the out leaflet even
+    when their preset is in the absent list, so the outer-leaflet
+    continuation across the physical edge carries energy.
+    """
+    gp = layout.mesh.global_parameters
+    if leaflet != "out":
+        return
+    presets = set(_normalize_preset_list(gp.get("leaflet_out_absent_presets")))
+    if "disk" not in presets:
+        return
+    if str(gp.get("rim_slope_match_mode") or "").strip().lower() != (
+        "physical_edge_staggered_v1"
+    ):
+        return
+    mode = str(gp.get("leaflet_out_absence_mode") or "").strip().lower()
+    if mode not in {"triangles", "triangle", "facets", "facet"}:
+        return
+    from membrane_solver_tpu.constraints.local_interface_shells import (
+        build_shell_rows,
+    )
+
+    shells = build_shell_rows(layout, group="disk")
+    if shells is None:
+        return
+    for rows in (shells.disk_rows, shells.rim_rows, shells.outer_rows):
+        vmask[np.asarray(rows, dtype=int)] = False
+
+
 def compile_topology(layout) -> dict:
     """Per-leaflet absent vertex + present triangle masks (padded)."""
     gp = layout.mesh.global_parameters
@@ -51,6 +84,7 @@ def compile_topology(layout) -> dict:
         if gp.get(f"leaflet_{leaflet}_absent_presets") is None:
             continue
         vmask = absent_vertex_rows(layout, leaflet)
+        _restore_physical_edge_shell_rows(layout, vmask, leaflet)
         vpad = layout.pad_rows(vmask, layout.nv_cap, False)
         tri_present = ~np.any(vmask[tri], axis=1) if len(tri) else np.zeros(0, bool)
         out[f"absent_{leaflet}"] = vpad

@@ -230,6 +230,25 @@ def make_gradient_projector(spec: ProblemSpec) -> Callable | None:
     """
     from membrane_solver_tpu.constraints import get_constraint
 
+    if spec.option("rim_slope_match_kkt_rows", "span_reduced").lower() == (
+        "reference_exact"
+    ):
+        rim_flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
+        if rim_flags[0] == "active" and len(rim_flags) > 1 and bool(rim_flags[1]):
+            # Reference-faithful mode: with a disk group the reference stacks
+            # the in-condition rim rows as EXACT negations of the out rows,
+            # its joint KKT normal matrix (pins + rim rows, one system) is
+            # exactly singular (sigma_min ~ 1e-33 recorded on the
+            # theory-parity lanes), LAPACK flags it, and the WHOLE
+            # projection is skipped every step — the raw gradient drives
+            # the line search and constraints act only through post-step
+            # enforcement.  The recorded theory-parity baselines are
+            # trajectories of that flow, so parity runs opt into the same
+            # skip.  The default ("span_reduced") drops the negated
+            # duplicates instead and projects on the well-conditioned
+            # system — see tests/fixtures/ref_kkt_pathology.json.
+            return None
+
     local_builders = []
     compact_builders = []
     dense_builders = []
@@ -736,6 +755,15 @@ def _minimize_block_impl(
     vertex_relax_fn = _tr.make_relax_vertex_tilts(spec) if do_vertex_tilt_relax else None
     project_tilts_after_step = do_tilt_relax or _tr.spec_uses_vertex_tilts(spec)
     tilt_enforcer = _tr.make_tilt_enforcer(spec)
+    # reduced-energy line search (reference minimizer._trial_projected_energy
+    # with line_search_reduced_energy): every trial re-relaxes the leaflet
+    # tilts for a bounded number of inner steps before scoring, and the
+    # accepted trial keeps the relaxed tilts.  Without it, coupled
+    # shape+tilt descent directions (e.g. the theory-parity disk lift)
+    # score as energy increases and every shape step is rejected.
+    reduced_ls = do_tilt_relax and spec.option(
+        "line_search_reduced_energy", ""
+    ).lower() in {"1", "true", "yes", "on"}
 
     def relax_with_guard(state):
         """Energy-spike guard with tilt-step halving (minimizer.py:1228-1288)."""
@@ -868,6 +896,14 @@ def _minimize_block_impl(
                 if enforcer is not None:
                     st = enforcer(st, topo, params, context="minimize")
                     st = tilt_enforcer(st, topo, params)
+                if reduced_ls:
+                    n_inner = jnp.asarray(
+                        params.get("line_search_reduced_tilt_inner_steps", 10.0),
+                        jnp.int32,
+                    )
+                    t_step = params.get("tilt_step_size", jnp.asarray(0.1, dtype))
+                    t_tol = params.get("tilt_tol", jnp.asarray(0.0, dtype))
+                    st, _rstats = relax_fn(st, topo, params, n_inner, t_step, t_tol)
                 if project_tilts_after_step:
                     t_geo = dgeo.triangle_geometry(
                         st.positions, topo.tri_rows, topo.tri_valid

@@ -73,3 +73,52 @@ def test_theory_parity_full_lane():
         report, REF_FIXTURES / "theory_parity_baseline.yaml"
     )
     assert not failures, "\n".join(failures)
+
+
+@pytest.mark.acceptance
+@pytest.mark.slow
+@pytest.mark.parametrize("lane", ["i50_interface", "i60_interface", "near_edge_v1"])
+def test_physical_edge_interface_lane(lane):
+    """physical_edge_staggered_v1 interface-profile lanes (reference
+    test_theory_parity_against_tex_acceptance.py:791-875 structural
+    assertions, plus documented-tolerance numerics).
+
+    Module-level E/grad parity on these lanes is machine-epsilon (see
+    tests/test_tilt_module_parity.py and the adjoint-surrogate notes in
+    energy/bending_tilt_leaflet.py); the end-to-end trajectory still
+    differs in the thetaB-optimize candidate-relax budget (the reference
+    scores candidates with a partially-converged 60-step probe whose
+    stopping point depends on its CG internals), so theta lands within one
+    0.01 grid step of the recorded baseline rather than exactly on it.
+    Asserted here: the structural diagnostics the reference pins
+    (physical_edge_local_shell construction, disk radius 7/15, sub-unit
+    first shell) and theta/energy within the documented envelope.
+    """
+    from tools.reproduce_theory_parity import (
+        build_context,
+        collect_report,
+        run_protocol,
+    )
+
+    fixture = REF_FIXTURES / (
+        f"kozlov_1disk_3d_free_disk_theory_parity_{lane}.yaml"
+    )
+    ctx = build_context(fixture)
+    run_protocol(ctx)
+    report = collect_report(ctx, fixture)
+    geom = report["metrics"]["diagnostics"]["outer_shell_geometry"]
+    assert geom["construction_mode"] == "physical_edge_local_shell"
+    assert abs(geom["rim_radius"] - 7.0 / 15.0) < 5e-3
+    assert geom["outer_radius"] < 1.0
+    baseline_name = {
+        "i50_interface": "theory_parity_i50_interface_baseline.yaml",
+        "i60_interface": "theory_parity_i60_interface_baseline.yaml",
+        "near_edge_v1": "theory_parity_near_edge_v1_baseline.yaml",
+    }[lane]
+    import yaml
+
+    base = yaml.safe_load((REF_FIXTURES / baseline_name).read_text())["metrics"]
+    theta = report["metrics"]["thetaB_value"]
+    assert abs(theta - float(base["thetaB_value"])) <= 0.0201, (theta, base["thetaB_value"])
+    e = report["metrics"]["final_energy"]
+    assert abs(e - float(base["final_energy"])) <= 0.05 * abs(float(base["final_energy"])) + 0.01

@@ -139,6 +139,13 @@ def build_context(fixture: Path):
     mesh = parse_geometry(load_data(str(fixture)))
     if not str(mesh.global_parameters.get("theory_parity_lane") or "").strip():
         mesh.global_parameters.set("theory_parity_lane", fixture.stem)
+    if mesh.global_parameters.get("rim_slope_match_kkt_rows") is None:
+        # parity runs replay the reference's recorded trajectories, which are
+        # produced with its singular joint KKT skipped every step (the
+        # negated rim in-rows make sigma_min ~ 1e-33; see
+        # runtime/jit_core.make_gradient_projector).  Opt into the faithful
+        # skip so the recorded baselines compare step-for-step.
+        mesh.global_parameters.set("rim_slope_match_kkt_rows", "reference_exact")
     mn = Minimizer(mesh, quiet=True)
     return CommandContext(mesh=mesh, minimizer=mn, stepper=mn.stepper)
 
@@ -151,6 +158,34 @@ def run_protocol(ctx, protocol=DEFAULT_PROTOCOL) -> None:
         execute_command_line(ctx, cmd)
         ctx.sync_mesh()
         stabilize_rim_radius(ctx.mesh)
+
+
+def outer_shell_geometry(ctx) -> dict:
+    """Shell-family diagnostics (reference matching_ring_diagnostics analog).
+
+    For physical_edge lanes the construction is the local shell family
+    adjacent to the disk boundary; radii come from the compiled shell rows
+    (constraints/local_interface_shells.build_shell_rows).
+    """
+    gp = ctx.mesh.global_parameters
+    mode = str(gp.get("rim_slope_match_mode") or "").strip().lower()
+    p = ctx.minimizer.problem()
+    radii = p.topo.extras.get("constraint:rim_slope_match_out/shell_radii")
+    if mode == "physical_edge_staggered_v1" and radii is not None:
+        import numpy as np
+
+        r = np.asarray(radii, dtype=float)
+        return {
+            "available": True,
+            "construction_mode": "physical_edge_local_shell",
+            "rim_radius": float(r[0]),
+            "outer_radius": float(r[1]),
+            "second_shell_radius": float(r[2]),
+        }
+    return {
+        "available": "constraint:rim_slope_match_out/rim" in p.topo.extras,
+        "construction_mode": "legacy_tagged_rim_shell",
+    }
 
 
 def collect_report(ctx, fixture: Path, protocol=DEFAULT_PROTOCOL) -> dict:
@@ -214,6 +249,7 @@ def collect_report(ctx, fixture: Path, protocol=DEFAULT_PROTOCOL) -> dict:
                 kappa_t=DEFAULT_TEX_TILT_MODULUS,
                 **common,
             ),
+            "diagnostics": {"outer_shell_geometry": outer_shell_geometry(ctx)},
         },
     }
 
@@ -266,12 +302,26 @@ def compare_to_baseline(report: dict, baseline_path: Path) -> list[str]:
 
     chk("final_energy", ours["final_energy"], float(m["final_energy"]), float(tol["final_energy"]))
     chk("thetaB_value", ours["thetaB_value"], float(m["thetaB_value"]), float(tol["thetaB_value"]))
-    for k, v in m["breakdown"].items():
+    for k, v in m.get("breakdown", {}).items():
         chk(
             f"breakdown.{k}",
             ours["breakdown"].get(k, 0.0),
             float(v),
             float(tol["breakdown"][k]),
+        )
+    for k, v in m.get("reduced_terms", {}).items():
+        chk(
+            f"reduced.{k}",
+            ours["reduced_terms"].get(k, 0.0),
+            float(v),
+            float(tol["reduced_terms"][k]),
+        )
+    for k, v in m.get("theory", {}).get("ratios", {}).items():
+        chk(
+            f"theory.ratios.{k}",
+            ours["legacy_anchor"]["ratios"].get(k, 0.0),
+            float(v),
+            float(tol["theory"]["ratios"][k]),
         )
     return failures
 
