@@ -1094,11 +1094,20 @@ _BLOCK_CACHE: Dict[Tuple, Callable] = {}
 
 
 def minimize_block(spec: ProblemSpec, options: MinimizeOptions) -> Callable:
-    """Jitted minimize block for a given static (spec, options)."""
+    """Jitted minimize block for a given static (spec, options).
+
+    Wrapped in the disk-backed AOT export cache: the block is the largest
+    traced graph in the system and its per-process trace+lower cost
+    dominated the small interactive lanes (utils/aot_cache.py).
+    """
     key = (spec, options)
     if key not in _BLOCK_CACHE:
-        _BLOCK_CACHE[key] = jax.jit(
-            partial(_minimize_block_impl, spec, options)
+        from membrane_solver_tpu.utils.aot_cache import aot_wrap
+
+        _BLOCK_CACHE[key] = aot_wrap(
+            "minimize_block",
+            f"{spec!r}|{options!r}",
+            jax.jit(partial(_minimize_block_impl, spec, options)),
         )
     return _BLOCK_CACHE[key]
 
@@ -1117,10 +1126,14 @@ def project_all_tilts(state: MeshState, topo: Topology) -> MeshState:
 
 
 def make_energy_value(spec: ProblemSpec) -> Callable:
-    """Jitted total-energy evaluation for a spec."""
+    """Jitted total-energy evaluation for a spec (AOT-cached)."""
     key = (spec, "__energy__")
     if key not in _BLOCK_CACHE:
-        _BLOCK_CACHE[key] = jax.jit(make_total_energy(spec))
+        from membrane_solver_tpu.utils.aot_cache import aot_wrap
+
+        _BLOCK_CACHE[key] = aot_wrap(
+            "energy_value", repr(spec), jax.jit(make_total_energy(spec))
+        )
     return _BLOCK_CACHE[key]
 
 

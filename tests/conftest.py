@@ -7,6 +7,10 @@ float64 on CPU (the package enables jax_enable_x64 on import).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when an axon/TPU tunnel is configured
+# The AOT export cache trades a one-time export cost for fast later process
+# startups; the suite creates hundreds of one-shot signatures, so keep it
+# off here (tests/test_aot_cache.py exercises the cache explicitly).
+os.environ.setdefault("MEMBRANE_SOLVER_AOT_CACHE", "0")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
