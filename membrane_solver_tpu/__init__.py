@@ -48,11 +48,31 @@ if _cache not in {"0", "false", "no"}:
     # cached CPU executables log a benign machine-feature-mismatch ERROR per
     # load (the cache stores the compile machine's feature list); silence it
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-    _cache_dir = (
-        _cache
-        if _cache not in {"1", "true", "yes"}
-        else os.path.join(os.path.expanduser("~"), ".cache", "membrane_solver_tpu", "xla")
-    )
+    if _cache not in {"1", "true", "yes"}:
+        _cache_dir = _cache
+    else:
+        # partition by host CPU features: executables cached on a machine
+        # with a different feature set (the VM fleet mixes avx512 variants)
+        # are not merely slow to load — deserializing them can SIGSEGV
+        # inside get_executable_and_time.  A per-feature-set directory means
+        # mismatched entries are never even seen.
+        try:
+            import hashlib as _hl
+
+            with open("/proc/cpuinfo") as _fh:
+                for _line in _fh:
+                    if _line.startswith("flags"):
+                        _feat = _hl.sha256(
+                            " ".join(sorted(_line.split(":", 1)[1].split())).encode()
+                        ).hexdigest()[:10]
+                        break
+                else:
+                    _feat = "nofeat"
+        except OSError:
+            _feat = "nofeat"
+        _cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "membrane_solver_tpu", f"xla-{_feat}"
+        )
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

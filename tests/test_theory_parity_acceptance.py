@@ -53,26 +53,64 @@ def test_tex_benchmark_closed_form_matches_targets():
         ), key
 
 
+def _run_lane_subprocess(code: str) -> dict:
+    """Run one theory lane in its own process (big-lane XLA:CPU executables
+    are one-per-process robust; multi-lane processes occasionally segfault
+    inside the compilation cache's executable deserialization)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=2400
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("LANE_RESULT "):
+            return json.loads(line[len("LANE_RESULT "):])
+    raise AssertionError(
+        f"lane subprocess failed (rc {out.returncode}):\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+_LANE_DRIVER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from pathlib import Path
+from tools.reproduce_theory_parity import (
+    build_context, collect_report, compare_to_baseline, compare_to_targets,
+    run_protocol,
+)
+fixture = Path({fixture!r})
+ctx = build_context(fixture)
+run_protocol(ctx)
+report = collect_report(ctx, fixture)
+failures = []
+if {targets!r}:
+    failures += compare_to_targets(report, Path({targets!r}))
+if {baseline!r}:
+    failures += compare_to_baseline(report, Path({baseline!r}))
+print("LANE_RESULT " + json.dumps({{"failures": failures, "metrics": report["metrics"]}}))
+"""
+
+
 @pytest.mark.acceptance
 @pytest.mark.slow
 def test_theory_parity_full_lane():
-    from tools.reproduce_theory_parity import (
-        build_context,
-        collect_report,
-        compare_to_baseline,
-        compare_to_targets,
-        run_protocol,
-    )
+    from pathlib import Path
 
-    fixture = REF_FIXTURES / "kozlov_1disk_3d_free_disk_theory_parity.yaml"
-    ctx = build_context(fixture)
-    run_protocol(ctx)
-    report = collect_report(ctx, fixture)
-    failures = compare_to_targets(report, REF_FIXTURES / "theory_parity_targets.yaml")
-    failures += compare_to_baseline(
-        report, REF_FIXTURES / "theory_parity_baseline.yaml"
+    repo = str(Path(__file__).resolve().parent.parent)
+    res = _run_lane_subprocess(
+        _LANE_DRIVER.format(
+            repo=repo,
+            fixture=str(REF_FIXTURES / "kozlov_1disk_3d_free_disk_theory_parity.yaml"),
+            targets=str(REF_FIXTURES / "theory_parity_targets.yaml"),
+            baseline=str(REF_FIXTURES / "theory_parity_baseline.yaml"),
+        )
     )
-    assert not failures, "\n".join(failures)
+    assert not res["failures"], "\n".join(res["failures"])
 
 
 @pytest.mark.acceptance
@@ -94,18 +132,18 @@ def test_physical_edge_interface_lane(lane):
     (physical_edge_local_shell construction, disk radius 7/15, sub-unit
     first shell) and theta/energy within the documented envelope.
     """
-    from tools.reproduce_theory_parity import (
-        build_context,
-        collect_report,
-        run_protocol,
-    )
+    from pathlib import Path
 
+    repo = str(Path(__file__).resolve().parent.parent)
     fixture = REF_FIXTURES / (
         f"kozlov_1disk_3d_free_disk_theory_parity_{lane}.yaml"
     )
-    ctx = build_context(fixture)
-    run_protocol(ctx)
-    report = collect_report(ctx, fixture)
+    res = _run_lane_subprocess(
+        _LANE_DRIVER.format(
+            repo=repo, fixture=str(fixture), targets="", baseline=""
+        )
+    )
+    report = {"metrics": res["metrics"]}
     geom = report["metrics"]["diagnostics"]["outer_shell_geometry"]
     assert geom["construction_mode"] == "physical_edge_local_shell"
     assert abs(geom["rim_radius"] - 7.0 / 15.0) < 5e-3
