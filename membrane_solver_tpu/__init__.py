@@ -31,6 +31,12 @@ from __future__ import annotations
 
 import os
 
+# cached CPU executables log a spurious machine-feature-mismatch ERROR per
+# load (XLA records tuning flags like +prefer-no-gather in the feature list
+# and the loader compares them against host CPU features); the env var must
+# be set before the jaxlib extension loads to take effect
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax
 
 # Precision: float64 by default (parity with the reference solver).  Set
@@ -45,9 +51,6 @@ if os.environ.get("MEMBRANE_SOLVER_X64", "1") not in {"0", "false", "no"}:
 # MEMBRANE_SOLVER_COMPILE_CACHE=0 or point it elsewhere with =<dir>.
 _cache = os.environ.get("MEMBRANE_SOLVER_COMPILE_CACHE", "1")
 if _cache not in {"0", "false", "no"}:
-    # cached CPU executables log a benign machine-feature-mismatch ERROR per
-    # load (the cache stores the compile machine's feature list); silence it
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     if _cache not in {"1", "true", "yes"}:
         _cache_dir = _cache
     else:

@@ -9,19 +9,44 @@ entry to ``~/.cache/membrane_solver_tpu/aot`` keyed by
 
     (entry name, arg avals/treedef, jax version, backend, source hash)
 
-and replays it with ``jax.export.deserialize(...).call`` (~1 ms) on later
-processes.  The source hash covers every ``membrane_solver_tpu`` module
-file, so any code edit invalidates the cache.  Failures fall back to the
-plain jitted callable; MEMBRANE_SOLVER_AOT_CACHE=0 disables the cache.
+and replays it with ``jax.export.deserialize(...).call`` on later
+processes (the replay's XLA compile hits the persistent compilation
+cache, so a warm process pays neither trace nor compile).
+
+Design notes (hard-won):
+
+- The export is taken of a FLAT-LEAVES wrapper ``g(*leaves) ->
+  tuple(out_leaves)`` — never of a function whose signature contains the
+  package's registered pytree dataclasses.  Round-tripping custom pytree
+  nodes through ``register_pytree_node_serialization`` (pickled auxdata)
+  produced scrambled leaf bindings on deserialize, which fed garbage into
+  bounded-looking device loops and hung entire lanes.  Flat leaves make
+  the serialized calling convention position-only; argument and result
+  structure live host-side in this module's codec.
+- The output structure is stored next to the StableHLO as a small JSON
+  descriptor (tuples/lists/dicts/None/leaves plus a WHITELIST of the
+  package's pytree dataclasses).  No pickle anywhere — a tampered cache
+  file can fail to load, but cannot execute code.
+- Each (name, static_key) wrapper holds per-aval-signature entries, so a
+  params pytree that changes shape/dtype mid-session (REPL `set` of a new
+  global) simply compiles a new entry instead of raising.
+- On any failure (missing class, codec mismatch, deserialize error) the
+  wrapper falls back to the plain jitted callable for that signature.
+
+Set MEMBRANE_SOLVER_AOT_CACHE=0 to disable, MEMBRANE_SOLVER_AOT_VALIDATE=1
+to cross-check each newly created export against the live-traced function
+once at write time (costs one extra compile+execution per entry).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
+import json
 import os
 import pathlib
 import tempfile
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 
@@ -35,7 +60,19 @@ _SRC_HASH: str | None = None
 
 
 def enabled() -> bool:
-    return os.environ.get("MEMBRANE_SOLVER_AOT_CACHE", "1") not in {"0", "false", "no"}
+    # Default OFF: on XLA:CPU, executing a module that went through an
+    # export/serialize/deserialize round-trip intermittently never returns
+    # (reproduced on the spherical_cap minimize block: the same module runs
+    # fine when replayed in the exporting process, and hangs — identical
+    # bytes, identical arguments — when replayed from a fresh process).
+    # The persistent XLA compilation cache already removes compile time
+    # across processes; per-process *tracing* is instead amortized by
+    # in-process warm runs (tools/suite.py) and single-capacity planning.
+    return os.environ.get("MEMBRANE_SOLVER_AOT_CACHE", "0") in {"1", "true", "yes"}
+
+
+def _validate() -> bool:
+    return os.environ.get("MEMBRANE_SOLVER_AOT_VALIDATE", "0") in {"1", "true", "yes"}
 
 
 def _source_hash() -> str:
@@ -51,55 +88,107 @@ def _source_hash() -> str:
     return _SRC_HASH
 
 
-def _aval_key(args) -> str:
-    leaves, treedef = jax.tree_util.tree_flatten(args)
-    parts = [str(treedef)]
+# ----------------------------------------------------------------------
+# structure codec (no pickle): tuple / list / dict / None / leaf /
+# whitelisted pytree dataclasses
+# ----------------------------------------------------------------------
+def _class_registry() -> dict[str, type]:
+    from membrane_solver_tpu.device.state import MeshState, Topology
+    from membrane_solver_tpu.runtime.jit_core import (
+        LineSearchResult,
+        MinimizeStats,
+        StepperState,
+    )
+    from membrane_solver_tpu.runtime.tilt_relax import TiltRelaxStats
+
+    return {
+        c.__name__: c
+        for c in (
+            MeshState,
+            Topology,
+            MinimizeStats,
+            StepperState,
+            LineSearchResult,
+            TiltRelaxStats,
+        )
+    }
+
+
+def encode_structure(obj: Any) -> dict:
+    """JSON-able descriptor of a pytree's structure (leaves elided)."""
+    if obj is None:
+        return {"t": "none"}
+    if isinstance(obj, tuple):
+        return {"t": "tuple", "c": [encode_structure(x) for x in obj]}
+    if isinstance(obj, list):
+        return {"t": "list", "c": [encode_structure(x) for x in obj]}
+    if isinstance(obj, dict):
+        keys = sorted(obj)  # jax flattens dicts in sorted-key order
+        return {
+            "t": "dict",
+            "k": list(keys),
+            "c": [encode_structure(obj[k]) for k in keys],
+        }
+    cls = type(obj)
+    if dataclasses.is_dataclass(obj) and cls.__name__ in _class_registry():
+        fields = [f.name for f in dataclasses.fields(cls)]
+        return {
+            "t": "dc",
+            "cls": cls.__name__,
+            "f": fields,
+            "c": [encode_structure(getattr(obj, f)) for f in fields],
+        }
+    # anything else is a leaf (array / scalar)
+    return {"t": "leaf"}
+
+
+def _decode(desc: dict, leaves: list, pos: int) -> tuple[Any, int]:
+    t = desc["t"]
+    if t == "none":
+        return None, pos
+    if t == "leaf":
+        return leaves[pos], pos + 1
+    if t in ("tuple", "list"):
+        out = []
+        for c in desc["c"]:
+            v, pos = _decode(c, leaves, pos)
+            out.append(v)
+        return (tuple(out) if t == "tuple" else out), pos
+    if t == "dict":
+        out = {}
+        for k, c in zip(desc["k"], desc["c"]):
+            out[k], pos = _decode(c, leaves, pos)
+        return out, pos
+    if t == "dc":
+        cls = _class_registry()[desc["cls"]]
+        kwargs = {}
+        for f, c in zip(desc["f"], desc["c"]):
+            kwargs[f], pos = _decode(c, leaves, pos)
+        return cls(**kwargs), pos
+    raise ValueError(f"unknown structure tag {t!r}")
+
+
+def decode_structure(desc: dict, leaves: list) -> Any:
+    obj, pos = _decode(desc, leaves, 0)
+    if pos != len(leaves):
+        raise ValueError(f"leaf count mismatch: consumed {pos} of {len(leaves)}")
+    return obj
+
+
+def _aval_key(leaves) -> str:
+    parts = []
     for leaf in leaves:
         shape = getattr(leaf, "shape", None)
         dtype = getattr(leaf, "dtype", None)
         if shape is None:
-            parts.append(f"py:{type(leaf).__name__}")
+            parts.append(f"py:{type(leaf).__name__}:{leaf!r}")
         else:
             parts.append(f"{tuple(shape)}:{dtype}")
     return "|".join(parts)
 
 
-_REGISTERED = False
-
-
-def _register_serializations() -> None:
-    """Register export serialization for the package's pytree dataclasses.
-
-    Their auxdata is pickled — it is just the class reference plus the
-    (empty) static-field tuple of jax.tree_util.register_dataclass nodes,
-    and the classes are importable by module path on deserialize.
-    """
-    global _REGISTERED
-    if _REGISTERED:
-        return
-    _REGISTERED = True
-    import pickle
-
-    from jax import export as jexport
-
-    from membrane_solver_tpu.device.state import MeshState, Topology
-    from membrane_solver_tpu.runtime.jit_core import MinimizeStats, StepperState
-    from membrane_solver_tpu.runtime.tilt_relax import TiltRelaxStats
-
-    for cls in (MeshState, Topology, StepperState, MinimizeStats, TiltRelaxStats):
-        try:
-            jexport.register_pytree_node_serialization(
-                cls,
-                serialized_name=f"membrane_solver_tpu.{cls.__name__}",
-                serialize_auxdata=pickle.dumps,
-                deserialize_auxdata=pickle.loads,
-            )
-        except ValueError:
-            pass  # already registered
-
-
 def aot_wrap(name: str, static_key: str, jitted: Callable) -> Callable:
-    """Wrap ``jitted`` with the disk-backed export cache.
+    """Wrap ``jitted`` with the disk-backed flat-leaves export cache.
 
     ``static_key`` must uniquely describe the traced computation for fixed
     arg avals (e.g. repr of the ProblemSpec + options).
@@ -109,64 +198,88 @@ def aot_wrap(name: str, static_key: str, jitted: Callable) -> Callable:
 
     from jax import export as jexport
 
-    _register_serializations()
-
-    holder: dict = {}
+    # per-aval-signature entries: {"fn": replay, "out": desc} or {"fallback": True}
+    entries: dict[str, dict] = {}
 
     def call(*args):
-        fn = holder.get("fn")
-        if fn is not None:
-            return fn(*args)
-        if holder.get("fallback"):
-            return jitted(*args)
+        leaves, in_treedef = jax.tree_util.tree_flatten(args)
+        akey = _aval_key(leaves)
+        ent = entries.get(akey)
+        if ent is not None:
+            if "fn" in ent:
+                out_leaves = ent["fn"](*leaves)
+                return decode_structure(ent["out"], list(out_leaves))
+            return jitted(*args)  # fallback signature
+
         digest = hashlib.sha256(
             "|".join(
                 [
                     name,
                     static_key,
-                    _aval_key(args),
+                    str(in_treedef),
+                    akey,
                     jax.__version__,
                     jax.default_backend(),
                     _source_hash(),
                 ]
             ).encode()
         ).hexdigest()[:32]
-        path = _CACHE_DIR / f"{name}-{digest}.stablehlo"
-        if path.exists():
+        hlo_path = _CACHE_DIR / f"{name}-{digest}.stablehlo"
+        out_path = _CACHE_DIR / f"{name}-{digest}.out.json"
+
+        def flat_fn(*ls):
+            a = jax.tree_util.tree_unflatten(in_treedef, list(ls))
+            return tuple(jax.tree_util.tree_leaves(jitted(*a)))
+
+        if hlo_path.exists() and out_path.exists():
             try:
-                exp = jexport.deserialize(path.read_bytes())
-                # jit the exported call so the replayed module lowers once
-                # per process instead of per invocation
-                holder["fn"] = jax.jit(exp.call)
-                return holder["fn"](*args)
+                exp = jexport.deserialize(hlo_path.read_bytes())
+                desc = json.loads(out_path.read_text())
+                fn = jax.jit(exp.call)
+                out_leaves = fn(*leaves)
+                result = decode_structure(desc, list(out_leaves))
+                entries[akey] = {"fn": fn, "out": desc}
+                return result
             except Exception:
-                path.unlink(missing_ok=True)
-        # export only small problems: per-process tracing dominates wall-clock
-        # there, while large lanes amortize their trace over long runs and the
-        # export would force one full re-compile of the re-lowered module
-        total_bytes = sum(
-            getattr(leaf, "nbytes", 0) for leaf in jax.tree_util.tree_leaves(args)
-        )
-        if total_bytes > int(os.environ.get("MEMBRANE_SOLVER_AOT_MAX_BYTES", 4_000_000)):
-            holder["fallback"] = True
-            return jitted(*args)
+                hlo_path.unlink(missing_ok=True)
+                out_path.unlink(missing_ok=True)
+
         try:
-            exp = jexport.export(jitted)(*args)
+            exp = jexport.export(jax.jit(flat_fn))(*leaves)
             data = exp.serialize()
+            # the output structure descriptor comes from an abstract
+            # evaluation of the wrapped callable (no FLOPs)
+            out_shape = jax.eval_shape(lambda *a: jitted(*a), *args)
+            desc = encode_structure(out_shape)
+            # run the replayed module (its compile seeds the persistent
+            # XLA cache entry the next process will hit)
+            fn = jax.jit(exp.call)
+            out_leaves = fn(*leaves)
+            result = decode_structure(desc, list(out_leaves))
+            if _validate():
+                ref_leaves = jax.tree_util.tree_leaves(jitted(*args))
+                import numpy as _np
+
+                for a, b in zip(ref_leaves, out_leaves, strict=True):
+                    _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
             _CACHE_DIR.mkdir(parents=True, exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=_CACHE_DIR, suffix=".tmp")
             with os.fdopen(fd, "wb") as fh:
                 fh.write(data)
-            os.replace(tmp, path)
-            holder["fn"] = jax.jit(exp.call)
-            return holder["fn"](*args)
+            os.replace(tmp, hlo_path)
+            fd, tmp = tempfile.mkstemp(dir=_CACHE_DIR, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(json.dumps(desc))
+            os.replace(tmp, out_path)
+            entries[akey] = {"fn": fn, "out": desc}
+            return result
         except Exception:
             if os.environ.get("MEMBRANE_SOLVER_AOT_DEBUG"):
                 import traceback
 
                 traceback.print_exc()
-            # unexportable computation (or serialization limit): plain jit
-            holder["fallback"] = True
+            # unexportable computation (or codec limit): plain jit
+            entries[akey] = {"fallback": True}
             return jitted(*args)
 
     return call
