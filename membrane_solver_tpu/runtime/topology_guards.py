@@ -33,20 +33,34 @@ def detect_vertex_edge_collisions(mesh, threshold: float = 1e-3) -> List[Tuple[i
     t = np.asarray(tails)
     h = np.asarray(heads)
     a = pos[t]  # (E, 3)
-    d = pos[h] - a
+    b = pos[h]
+
+    # x-interval prefilter: a vertex within `threshold` of a segment lies
+    # inside the segment's x-range grown by threshold.  Sorting vertices by
+    # x turns the candidate set per edge into a contiguous slice, shrinking
+    # the exact O(V*E) distance test to the few real candidates.
+    order = np.argsort(pos[:, 0], kind="stable")
+    xs = pos[order, 0]
+    lo = np.searchsorted(xs, np.minimum(a[:, 0], b[:, 0]) - threshold, side="left")
+    hi = np.searchsorted(xs, np.maximum(a[:, 0], b[:, 0]) + threshold, side="right")
+    counts = hi - lo
+    if int(counts.sum()) == 0:
+        return []
+    e_idx = np.repeat(np.arange(len(edge_ids)), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    v_sorted_idx = np.arange(int(counts.sum())) - np.repeat(starts, counts) + np.repeat(lo, counts)
+    v_idx = order[v_sorted_idx]
+
+    pa = pos[v_idx] - a[e_idx]
+    d = b[e_idx] - a[e_idx]
     dd = np.einsum("ij,ij->i", d, d)
     dd = np.where(dd < 1e-30, 1.0, dd)
-
-    # point-to-segment distances, all pairs (V, E)
-    rel = pos[:, None, :] - a[None, :, :]
-    s = np.clip(np.einsum("vej,ej->ve", rel, d) / dd[None, :], 0.0, 1.0)
-    closest = a[None, :, :] + s[:, :, None] * d[None, :, :]
-    dist = np.linalg.norm(pos[:, None, :] - closest, axis=2)
-
-    # mask out incident pairs
-    v_rows = np.arange(pos.shape[0])
-    incident = (v_rows[:, None] == t[None, :]) | (v_rows[:, None] == h[None, :])
-    dist = np.where(incident, np.inf, dist)
-
-    v_idx, e_idx = np.nonzero(dist < threshold)
-    return [(int(ids[v]), int(edge_ids[e])) for v, e in zip(v_idx, e_idx)]
+    s = np.clip(np.einsum("ij,ij->i", pa, d) / dd, 0.0, 1.0)
+    closest = a[e_idx] + s[:, None] * d
+    dist = np.linalg.norm(pos[v_idx] - closest, axis=1)
+    incident = (v_idx == t[e_idx]) | (v_idx == h[e_idx])
+    keep = (dist < threshold) & ~incident
+    return [
+        (int(ids[v]), int(edge_ids[e]))
+        for v, e in zip(v_idx[keep], e_idx[keep])
+    ]
