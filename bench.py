@@ -120,18 +120,22 @@ if {refines}:
         mn.mesh = m; mn.invalidate(); mn.enforce_constraints_after_mesh_ops()
 steps = int({os.environ.get("BENCH_STEPS", 0)!r}) or lane["steps"]
 mn.minimize(lane["warmup"])
-# best-of-2 timed passes: robust to transient host load.  Each pass divides
-# by the iterations actually run (the second pass may converge or
-# zero-step-terminate early on the already-minimized state).
-best = float("inf")
+# best-of-2 timed passes: robust to transient host load.  A pass that
+# converges or zero-step-terminates early runs cheaper-than-full steps, so
+# it only counts when no full pass completed (avoids biasing ms/step down).
+best_full = float("inf")
+best_any = float("inf")
 for _ in range(2):
     t0 = time.perf_counter()
     res = mn.minimize(steps)
     dt = time.perf_counter() - t0
     iters = max(int(res.get("iterations", steps)), 1)
-    best = min(best, dt / iters)
+    per_step = dt / iters
+    best_any = min(best_any, per_step)
     if res.get("terminated_early") or res.get("converged"):
         break  # the state is converged; a further pass measures nothing real
+    best_full = min(best_full, per_step)
+best = best_full if best_full < float("inf") else best_any
 print("BENCH_RESULT", best * 1e3)
 """
     env = dict(os.environ, MEMBRANE_SOLVER_X64=x64)
@@ -166,6 +170,16 @@ def _default_configs(pin):
     return cfgs
 
 
+def _headline(results: dict) -> tuple[str, float]:
+    """Headline = the TPU number when measured (the platform this framework
+    targets; its f32 mode is documented with a recorded trajectory-parity
+    bound), never a silent min() across precisions.  Every measured config
+    is still reported side by side in "all"."""
+    tpu = {k: v for k, v in results.items() if k.startswith("tpu")}
+    pool = tpu or results
+    return min(pool.items(), key=lambda kv: kv[1])
+
+
 def main() -> None:
     lane_name = os.environ.get("BENCH_LANE")
     pin = os.environ.get("BENCH_PLATFORM")
@@ -177,7 +191,7 @@ def main() -> None:
         results = run_lane(lane, _default_configs(pin))
         if not results:
             sys.exit("error: all bench platforms failed")
-        platform, ms = min(results.items(), key=lambda kv: kv[1])
+        platform, ms = _headline(results)
         print(json.dumps({
             "metric": lane["metric"],
             "value": round(ms, 4),
@@ -199,17 +213,17 @@ def main() -> None:
 
     l3 = run_lane(LANES["kozlov_L3"], _default_configs(pin))
     if l3:
-        platform, ms = min(l3.items(), key=lambda kv: kv[1])
+        platform, ms = _headline(l3)
         lane = LANES["kozlov_L3"]
         for label, v in l3.items():
             extras[f"kozlov_L3_{label}"] = round(v, 3)
     elif small:
-        platform, ms = min(small.items(), key=lambda kv: kv[1])
+        platform, ms = _headline(small)
         lane = LANES["kozlov"]
     else:
         sys.exit("error: all bench lanes failed")
     if small:
-        sp, sms = min(small.items(), key=lambda kv: kv[1])
+        sp, sms = _headline(small)
         extras["kozlov_small_vs_baseline"] = round(
             LANES["kozlov"]["reference_ms"] / sms, 2
         )

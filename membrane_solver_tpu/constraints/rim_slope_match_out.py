@@ -77,10 +77,24 @@ def _groups(gp):
     )
 
 
+def _scaffold_mesh_op_mode(gp) -> str:
+    """Scaffold hard-projection behavior for mesh-op/finalize contexts
+    (reference rim_slope_match_params.py:116-126)."""
+    mode = str(gp.get("rim_slope_match_scaffold_mesh_operation_mode") or "project")
+    mode = mode.strip().lower()
+    if mode not in {"project", "preserve_trace_v1"}:
+        raise ValueError(
+            "rim_slope_match_scaffold_mesh_operation_mode must be "
+            "'project' or 'preserve_trace_v1'."
+        )
+    return mode
+
+
 def compile_static(layout):
     """Hashable mode flags:
     (active, has_disk, interp_outer, local_disk, theta_is_param, staggered,
-    disk_targeting).
+    disk_targeting, ring_average, scaffold, mesh_op_mode, projector_mode,
+    has_trace).
 
     ``staggered`` selects the outer-shell tilt-target placement
     (shared_rim_staggered_v1 and physical_edge_staggered_v1): the OUT
@@ -91,16 +105,18 @@ def compile_static(layout):
     _use_disk_theta_targeting + _disk_theta_rows_weights_and_direction):
     the IN condition acts on the disk-boundary row itself along the raw
     planar radial with the scalar theta_B target.
+    ``ring_average`` aggregates every per-ring-vertex matching condition
+    into ONE constraint per leaflet family (reference
+    rim_slope_match_gradients.py:123-178 agg_* accumulation and the
+    averaged enforcement in rim_slope_match_out.py:104-199).
+    ``scaffold`` marks the physical-edge scaffold-trace lane
+    (parity_trace_layer_radius set AND parity_outer_shells > 0, reference
+    rim_slope_match_params.py:66-80): theta_B scalar targeting is disabled
+    and theta comes from the disk-ring tilts.
     """
     gp = layout.mesh.global_parameters
     mode, group, outer_group, disk_group = _groups(gp)
     if mode == "physical_edge_staggered_v1":
-        # scaffold-trace lanes (parity_outer_shells > 0) not supported yet
-        if int(gp.get("parity_outer_shells") or 0) > 0:
-            raise NotImplementedError(
-                "physical_edge_staggered_v1 scaffold-trace lanes "
-                "(parity_outer_shells > 0) are not supported yet"
-            )
         from membrane_solver_tpu.constraints.local_interface_shells import (
             build_shell_rows,
         )
@@ -111,17 +127,33 @@ def compile_static(layout):
         shells = build_shell_rows(layout, group=str(interface_group))
         if shells is None or shells.disk_rows.size == 0:
             return ("inactive",)
+        has_trace = gp.get("parity_trace_layer_radius") is not None
+        scaffold = has_trace and int(gp.get("parity_outer_shells") or 0) > 0
+        mesh_op_mode = _scaffold_mesh_op_mode(gp)
+        projector_mode = str(
+            gp.get("rim_slope_match_scaffold_projector_mode") or ""
+        ).strip().lower()
         return (
             "active",
             True,   # has_disk (the disk ring IS the rim ring)
             False,  # shells are 1:1 azimuth-aligned, no interp
             True,   # local_disk
-            gp.get("rim_slope_match_thetaB_param") is not None,
+            (gp.get("rim_slope_match_thetaB_param") is not None) and not scaffold,
             True,   # outer-shell (staggered) OUT placement
-            True,   # disk-targeted IN law
+            not scaffold,  # disk-targeted IN law (off on scaffold-trace lanes)
+            False,  # ring_average
+            scaffold,
+            mesh_op_mode,
+            projector_mode,
+            has_trace,
         )
     if (
-        mode not in {"pointwise_radial_v1", "shared_rim_staggered_v1"}
+        mode
+        not in {
+            "pointwise_radial_v1",
+            "ring_average_radial_v1",
+            "shared_rim_staggered_v1",
+        }
         or group is None
         or outer_group is None
     ):
@@ -143,6 +175,11 @@ def compile_static(layout):
         gp.get("rim_slope_match_thetaB_param") is not None,
         mode == "shared_rim_staggered_v1",
         False,
+        mode == "ring_average_radial_v1",
+        False,      # scaffold
+        "project",  # mesh_op_mode (unused off-scaffold)
+        "",         # projector_mode
+        False,      # has_trace
     )
 
 
@@ -211,11 +248,16 @@ def compile_topology(layout) -> dict:
                 [shells.disk_radius, shells.rim_radius, shells.outer_radius]
             ),
         }
-    if mode not in {"pointwise_radial_v1", "shared_rim_staggered_v1"}:
-        raise NotImplementedError(
-            f"rim_slope_match mode {mode!r} is not supported yet "
-            "(pointwise_radial_v1, shared_rim_staggered_v1 and "
-            "physical_edge_staggered_v1 only)"
+    if mode not in {
+        "pointwise_radial_v1",
+        "ring_average_radial_v1",
+        "shared_rim_staggered_v1",
+    }:
+        # parity: reference _resolve_matching_mode raises ValueError
+        raise ValueError(
+            "rim_slope_match_mode must be 'pointwise_radial_v1' or "
+            "'ring_average_radial_v1' or 'shared_rim_staggered_v1' or "
+            "'physical_edge_staggered_v1'."
         )
     if disk_group is not None and str(disk_group) == str(group or ""):
         disk_group = None  # reference _sanitize_disk_group (all non-physical modes)
@@ -482,6 +524,19 @@ def _spec_disk_targeting(spec) -> bool:
     return flags[0] == "active" and len(flags) > 6 and bool(flags[6])
 
 
+def _spec_ring_average(spec) -> bool:
+    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
+    return flags[0] == "active" and len(flags) > 7 and bool(flags[7])
+
+
+def _spec_scaffold(spec):
+    """(scaffold_active, mesh_op_mode, projector_mode, has_trace) or None."""
+    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
+    if flags[0] != "active" or len(flags) < 12:
+        return None
+    return bool(flags[8]), str(flags[9]), str(flags[10]), bool(flags[11])
+
+
 def _theta_targets(tilts_in, positions, topo, params, phi, flags):
     """Per-rim-index theta_disk target (rim_slope_match_out.py:82-101)."""
     has_disk, _interp_outer, local_disk, theta_is_param = flags
@@ -499,19 +554,29 @@ def _theta_targets(tilts_in, positions, topo, params, phi, flags):
     )
 
 
+def _ring_average_delta(ok, coeff, target, t_rad):
+    """Scalar averaged residual: sum coeff*(target - t_rad)/sum coeff
+    (reference rim_slope_match_out.py:104-199 out_num/out_den)."""
+    c = jnp.where(ok, coeff, 0.0)
+    den = jnp.sum(c)
+    num = jnp.sum(c * (target - t_rad))
+    return jnp.where(den > 0.0, num / _fmax_tiny(den), 0.0)
+
+
 def make_enforce_tilts(spec):
     flags = _spec_flags(spec)
     if flags is None:
         return None
     has_disk, interp_outer, local_disk, theta_is_param = flags
     staggered = _spec_staggered(spec)
+    ring_average = _spec_ring_average(spec)
 
     disk_targeting = _spec_disk_targeting(spec)
 
     def enforce(state, topo, params):
         """Project tilts onto the matching conditions (pointwise/staggered)."""
         positions = state.positions
-        valid, phi, _inv_dr, r_hat, _w, _normal, omap = matching_data(
+        valid, phi, _inv_dr, r_hat, ring_w, _normal, omap = matching_data(
             positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
@@ -558,14 +623,24 @@ def make_enforce_tilts(spec):
 
         ok_out = use & ~topo.tilt_fixed_out_mask[rim]
         t_out_rad = jnp.sum(tilts_out[rim] * r_dir, axis=1)
-        delta_out = jnp.where(ok_out, phi - t_out_rad, 0.0)
+        if ring_average:
+            coeff = jnp.sqrt(jnp.maximum(ring_w, 0.0))
+            d_out = _ring_average_delta(ok_out, coeff, phi, t_out_rad)
+            delta_out = jnp.where(ok_out, d_out, 0.0)
+        else:
+            delta_out = jnp.where(ok_out, phi - t_out_rad, 0.0)
         tilts_out = tilts_out.at[rim].add(delta_out[:, None] * r_dir)
 
         # inner condition target theta_disk (rim_slope_match_out.py:82-101)
         theta_i = _theta_targets(tilts_in, positions, topo, params, phi, flags)
         ok_in = use & ~topo.tilt_fixed_in_mask[rim]
         t_in_rad = jnp.sum(tilts_in[rim] * r_dir, axis=1)
-        delta_in = jnp.where(ok_in, (theta_i - phi) - t_in_rad, 0.0)
+        if ring_average:
+            coeff = jnp.sqrt(jnp.maximum(ring_w, 0.0))
+            d_in = _ring_average_delta(ok_in, coeff, theta_i - phi, t_in_rad)
+            delta_in = jnp.where(ok_in, d_in, 0.0)
+        else:
+            delta_in = jnp.where(ok_in, (theta_i - phi) - t_in_rad, 0.0)
         tilts_in = tilts_in.at[rim].add(delta_in[:, None] * r_dir)
 
         return dataclasses.replace(state, tilts_in=tilts_in, tilts_out=tilts_out)
@@ -586,6 +661,7 @@ def make_frozen_enforce_tilts(spec):
         return None
     has_disk, interp_outer, local_disk, theta_is_param = flags
     staggered = _spec_staggered(spec)
+    ring_average = _spec_ring_average(spec)
     disk_targeting = _spec_disk_targeting(spec)
 
     def _frozen_theta(tin, fr, params, phi):
@@ -604,7 +680,7 @@ def make_frozen_enforce_tilts(spec):
 
     def precompute(state, topo, params):
         positions = state.positions
-        valid, phi, _inv_dr, r_hat, _w, _normal, omap = matching_data(
+        valid, phi, _inv_dr, r_hat, ring_w, _normal, omap = matching_data(
             positions, topo, params, interp_outer=interp_outer
         )
         rim = _x(topo, "rim")
@@ -641,6 +717,7 @@ def make_frozen_enforce_tilts(spec):
                 "rim": rim,
                 "phi": phi,
                 "r_dir": r_dir,
+                "coeff": jnp.sqrt(jnp.maximum(ring_w, 0.0)),
                 "ok_out": use & ~topo.tilt_fixed_out_mask[rim],
                 "ok_in": use & ~topo.tilt_fixed_in_mask[rim],
             }
@@ -676,16 +753,167 @@ def make_frozen_enforce_tilts(spec):
 
         rim = fr["rim"]
         t_out_rad = jnp.sum(tout[rim] * r_dir, axis=1)
-        delta_out = jnp.where(fr["ok_out"], phi - t_out_rad, 0.0)
+        if ring_average:
+            d_out = _ring_average_delta(fr["ok_out"], fr["coeff"], phi, t_out_rad)
+            delta_out = jnp.where(fr["ok_out"], d_out, 0.0)
+        else:
+            delta_out = jnp.where(fr["ok_out"], phi - t_out_rad, 0.0)
         tout = tout.at[rim].add(delta_out[:, None] * r_dir)
 
         theta_i = _frozen_theta(tin, fr, params, phi)
         t_in_rad = jnp.sum(tin[rim] * r_dir, axis=1)
-        delta_in = jnp.where(fr["ok_in"], (theta_i - phi) - t_in_rad, 0.0)
+        if ring_average:
+            d_in = _ring_average_delta(
+                fr["ok_in"], fr["coeff"], theta_i - phi, t_in_rad
+            )
+            delta_in = jnp.where(fr["ok_in"], d_in, 0.0)
+        else:
+            delta_in = jnp.where(fr["ok_in"], (theta_i - phi) - t_in_rad, 0.0)
         tin = tin.at[rim].add(delta_in[:, None] * r_dir)
         return tin, tout
 
     return precompute, enforce
+
+
+def make_enforce(spec):
+    """Trace-shell height/tilt projection for physical-edge trace lanes.
+
+    Parity: reference rim_slope_match_out.enforce_constraint
+    (rim_slope_match_out.py:297-533) — for ``physical_edge_staggered_v1``
+    with ``parity_trace_layer_radius`` set, project the matched shell's
+    heights (along the lane normal) and the outer radial tilt onto a joint
+    proximal solve of the rim law; with the scaffold-trace lane in
+    ``preserve_trace_v1`` mesh-operation mode, the projection is skipped
+    entirely in mesh_operation/finalize contexts (the reference records
+    {"mode": "preserve_trace_v1", "skipped": True}).  The
+    ``continuity_v2`` projector mode replaces the proximal solve with the
+    half-split target phi = t_out = theta/2.
+    """
+    flags = _spec_flags(spec)
+    if flags is None:
+        return None
+    sc = _spec_scaffold(spec)
+    if sc is None:
+        return None
+    scaffold, mesh_op_mode, projector_mode, has_trace = sc
+    if not (_spec_staggered(spec) and has_trace):
+        return None  # reference early-outs when trace_layer_radius is None
+    has_disk, interp_outer, local_disk, theta_is_param = flags
+
+    def enforce(state, topo, params, context="minimize"):
+        if "constraint:rim_slope_match_out/rim" not in topo.extras:
+            return state
+        if (
+            context in {"mesh_operation", "finalize"}
+            and scaffold
+            and mesh_op_mode == "preserve_trace_v1"
+        ):
+            return state
+        positions = state.positions
+        dtype = positions.dtype
+        valid, phi, inv_dr, r_hat, _w, normal, omap = matching_data(
+            positions, topo, params, interp_outer=interp_outer
+        )
+        rim = _x(topo, "rim")
+        outer = _x(topo, "outer")
+        idx0, idx1, w0, w1 = omap
+        n_rows = positions.shape[0]
+        geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
+        vnormals = dgeo.vertex_normals(geo, topo.tri_rows, topo.tri_valid, n_rows)
+        row0, row1, sw0, sw1, r_dir, dir_ok, _denom = _staggered_targets(
+            topo, r_hat, vnormals, omap
+        )
+        tin, tout = state.tilts_in, state.tilts_out
+
+        t_out_rad = sw0 * jnp.sum(tout[row0] * r_dir, axis=1) + sw1 * jnp.sum(
+            tout[row1] * r_dir, axis=1
+        )
+        t_in_rad = sw0 * jnp.sum(tin[row0] * r_dir, axis=1) + sw1 * jnp.sum(
+            tin[row1] * r_dir, axis=1
+        )
+        theta_i = _theta_targets(tin, positions, topo, params, phi, flags)
+        continuity = theta_i - t_in_rad
+
+        ok = valid & dir_ok & (jnp.abs(inv_dr) > 1e-12)
+        dr = jnp.where(ok, 1.0 / jnp.where(ok, inv_dr, 1.0), 0.0)
+        nvec = jnp.asarray(normal, dtype)
+
+        if projector_mode == "continuity_v2":
+            phi_target = 0.5 * theta_i
+            t_out_target = phi_target
+        else:
+            # joint local proximal solve, equal weights on staying near the
+            # current secant / outer tilt and satisfying t_out = phi and
+            # t_in = theta - phi (reference :470-478)
+            phi_target = (2.0 * phi + t_out_rad + 2.0 * continuity) / 5.0
+            t_out_target = 0.5 * (phi_target + t_out_rad)
+
+        h_rim = positions[rim] @ nvec
+        target_h = h_rim + phi_target * dr
+
+        o0 = outer[idx0]
+        o1 = outer[idx1]
+        use0 = ok & (jnp.abs(w0) > 1e-12)
+        use1 = ok & (jnp.abs(w1) > 1e-12)
+        h_num = (
+            jnp.zeros((n_rows,), dtype)
+            .at[o0].add(jnp.where(use0, w0 * target_h, 0.0))
+            .at[o1].add(jnp.where(use1, w1 * target_h, 0.0))
+        )
+        h_den = (
+            jnp.zeros((n_rows,), dtype)
+            .at[o0].add(jnp.where(use0, jnp.abs(w0), 0.0))
+            .at[o1].add(jnp.where(use1, jnp.abs(w1), 0.0))
+        )
+        t_num = (
+            jnp.zeros((n_rows,), dtype)
+            .at[o0].add(jnp.where(use0, w0 * t_out_target, 0.0))
+            .at[o1].add(jnp.where(use1, w1 * t_out_target, 0.0))
+        )
+        t_den = h_den
+
+        move = (h_den > 1e-12) & ~topo.fixed_mask
+        cur_h = positions @ nvec
+        target_mean = h_num / _fmax_tiny(h_den)
+        new_positions = jnp.where(
+            move[:, None],
+            positions + ((target_mean - cur_h)[:, None] * nvec[None, :]),
+            positions,
+        )
+
+        # outer radial tilt replacement on the updated positions, with the
+        # pre-update vertex normals (reference :507-530 reads `normals`
+        # computed before the height loop)
+        radius = jnp.linalg.norm(new_positions[:, :2], axis=1)
+        r_ok = radius > 1e-12
+        r_hat_row = jnp.where(
+            r_ok[:, None],
+            jnp.concatenate(
+                [
+                    new_positions[:, :2] / _fmax_tiny(radius)[:, None],
+                    jnp.zeros((n_rows, 1), dtype),
+                ],
+                axis=1,
+            ),
+            0.0,
+        )
+        rd = r_hat_row - jnp.sum(r_hat_row * vnormals, axis=1)[:, None] * vnormals
+        rd_n = jnp.linalg.norm(rd, axis=1)
+        rd_ok = rd_n > 1e-12
+        rd = jnp.where(rd_ok[:, None], rd / _fmax_tiny(rd_n)[:, None], 0.0)
+        upd = (t_den > 1e-12) & ~topo.tilt_fixed_out_mask & r_ok & rd_ok
+        radial = jnp.sum(tout * rd, axis=1)
+        target_tilt = t_num / _fmax_tiny(t_den)
+        new_tout = jnp.where(
+            upd[:, None],
+            tout + ((target_tilt - radial)[:, None] * rd),
+            tout,
+        )
+        return dataclasses.replace(
+            state, positions=new_positions, tilts_out=new_tout
+        )
+
+    return enforce
 
 
 def enforce_tilts(state, topo, params):
@@ -716,6 +944,7 @@ def make_tilt_constraint_rows(spec):
         return lambda state, topo, params: None
     has_disk, interp_outer, local_disk, _theta_is_param = flags
     staggered = _spec_staggered(spec)
+    ring_average = _spec_ring_average(spec)
     disk_targeting = _spec_disk_targeting(spec)
 
     def fn(state, topo, params):
@@ -751,9 +980,14 @@ def make_tilt_constraint_rows(spec):
                 return g
             return g.at[idx, rim].add(coeff[:, None] * r_dir)
 
+        def agg(pairs):
+            """ring_average: one aggregate condition per leaflet family
+            (reference rim_slope_match_gradients.py agg_* accumulation)."""
+            return jnp.sum(pairs, axis=0, keepdims=True) if ring_average else pairs
+
         gout = base_row()
         zeros = jnp.zeros((k, n_rows, 3), dtype)
-        out_pairs = jnp.stack([zeros, gout], axis=1)  # (k, 2=in/out, Nv, 3)
+        out_pairs = agg(jnp.stack([zeros, gout], axis=1))  # (k, 2=in/out, Nv, 3)
 
         if not has_disk:
             return out_pairs
@@ -765,7 +999,7 @@ def make_tilt_constraint_rows(spec):
             gin = jnp.zeros((k, n_rows, 3), dtype).at[idx, rim].add(
                 coeff[:, None] * r_hat
             )
-            in_pairs = jnp.stack([gin, zeros], axis=1)
+            in_pairs = agg(jnp.stack([gin, zeros], axis=1))
             return jnp.concatenate([out_pairs, in_pairs], axis=0)
 
         # in rows: coeff * r_dir at the target slots minus the disk-side
@@ -782,7 +1016,7 @@ def make_tilt_constraint_rows(spec):
                 jnp.where(dgood[:, None], mean_dirs, 0.0)
             )
             gin = gin - coeff[:, None, None] * shared[None, :, :]
-        in_pairs = jnp.stack([gin, zeros], axis=1)
+        in_pairs = agg(jnp.stack([gin, zeros], axis=1))
         return jnp.concatenate([out_pairs, in_pairs], axis=0)
 
     return fn
@@ -802,6 +1036,10 @@ def make_compact_tilt_rows(spec):
         # would wrongly mark the module "not compact-representable" and
         # force every OTHER module's rows onto the dense fallback)
         return lambda state, topo, params: None
+    if _spec_ring_average(spec):
+        # one aggregate row touching the whole ring has no compact-slot
+        # form; the dense builders carry this mode
+        return None
     has_disk, interp_outer, local_disk, _theta_is_param = flags
     staggered = _spec_staggered(spec)
     disk_targeting = _spec_disk_targeting(spec)
@@ -904,6 +1142,7 @@ def make_constraint_gradient_rows(spec):
     if flags is None:
         return lambda state, topo, params: None
     has_disk, interp_outer, _local_disk, _theta_is_param = flags
+    ring_average = _spec_ring_average(spec)
 
     def fn(state, topo, params):
         if "constraint:rim_slope_match_out/rim" not in topo.extras:
@@ -930,6 +1169,10 @@ def make_constraint_gradient_rows(spec):
             .at[idx, outer[idx1]]
             .add(-(coeff * w1)[:, None] * nvec)
         )
+        if ring_average:
+            # one aggregate shape condition (the in-family aggregate is its
+            # exact negation and is dropped, as in the pointwise case below)
+            g_out = jnp.sum(g_out, axis=0, keepdims=True)
         # Deliberate divergence from the reference: with a disk group the
         # reference ALSO stacks the in-condition rows, which are the EXACT
         # negations of the out rows (rim_slope_match_gradients.py:374-390,
@@ -940,7 +1183,7 @@ def make_constraint_gradient_rows(spec):
         # gradient and reject every line-search trial.  The negated rows
         # span the same constraint space, so we keep only the out rows:
         # identical feasible projection, well-conditioned system.  See
-        # tools/ref_singular_kkt_repro.py for the recorded reference
+        # tools/ref_kkt_pathology_repro.py for the recorded reference
         # behavior this replaces.
         return g_out
 
@@ -959,6 +1202,8 @@ def make_compact_constraint_rows(spec):
     flags = _spec_flags(spec)
     if flags is None:
         return None
+    if _spec_ring_average(spec):
+        return None  # aggregate row is not compact-representable
     has_disk, interp_outer, _local_disk, _theta_is_param = flags
 
     def fn(state, topo, params):

@@ -19,7 +19,49 @@ import jax.numpy as jnp
 USES_TILT_LEAFLETS = True
 
 
-def leaflet_energy(geo, tilts, topo, k_tilt, mass_mode: str, present_tri=None):
+def compile_trace_layer_row_weights(layout):
+    """Explicit trace-layer active-row tilt weights, or None.
+
+    Parity: reference modules/energy/tilt_utils.py:154-199
+    (_explicit_trace_layer_active_row_weights) — on physical-edge trace
+    lanes (mode physical_edge_staggered_v1, parity_trace_layer_radius set,
+    a named theory_parity_lane), rows on the trace shell carry weight
+    sqrt((rim_r - disk_r) / (outer_r - disk_r)); the energy then uses
+    tilts * w (so |t|^2 terms scale by the shell fraction) for BOTH
+    leaflets.
+    """
+    import numpy as np
+
+    gp = layout.mesh.global_parameters
+    mode = str(gp.get("rim_slope_match_mode") or "").strip().lower()
+    trace_radius = gp.get("parity_trace_layer_radius")
+    lane = str(gp.get("theory_parity_lane") or "").strip()
+    if mode != "physical_edge_staggered_v1" or trace_radius is None or not lane:
+        return None
+    from membrane_solver_tpu.constraints.local_interface_shells import (
+        build_shell_rows,
+    )
+
+    shells = build_shell_rows(layout, group="disk")
+    if shells is None:
+        return None
+    denom = float(shells.outer_radius) - float(shells.disk_radius)
+    numer = float(shells.rim_radius) - float(shells.disk_radius)
+    if denom <= 1e-12:
+        return None
+    frac = min(1.0, max(0.0, numer / denom))
+    w = np.ones(len(layout.vertex_ids), dtype=float)
+    w[np.asarray(shells.rim_rows, dtype=int)] = float(np.sqrt(frac))
+    return layout.pad_rows(w, layout.nv_cap, 1.0)
+
+
+def row_weights(topo, leaflet: str):
+    return topo.extras.get(f"energy:tilt_{leaflet}/row_weights")
+
+
+def leaflet_energy(geo, tilts, topo, k_tilt, mass_mode: str, present_tri=None, weights=None):
+    if weights is not None:
+        tilts = tilts * weights[:, None]
     t0 = tilts[topo.tri_rows[:, 0]]
     t1 = tilts[topo.tri_rows[:, 1]]
     t2 = tilts[topo.tri_rows[:, 2]]
@@ -50,7 +92,13 @@ def make_leaflet_energy(spec, leaflet: str):
         k = params.get(f"tilt_modulus_{leaflet}", jnp.asarray(0.0))
         tilts = state.tilts_in if leaflet == "in" else state.tilts_out
         return leaflet_energy(
-            geo, tilts, topo, k, mass_mode, present_triangles(topo, leaflet)
+            geo,
+            tilts,
+            topo,
+            k,
+            mass_mode,
+            present_triangles(topo, leaflet),
+            weights=row_weights(topo, leaflet),
         )
 
     return fn
@@ -87,6 +135,13 @@ def make_leaflet_tilt_frozen(spec, leaflet: str):
             t0 = tilts[topo.tri_rows[:, 0]]
             t1 = tilts[topo.tri_rows[:, 1]]
             t2 = tilts[topo.tri_rows[:, 2]]
+        w = row_weights(topo, leaflet)
+        if w is not None:
+            # per-vertex active-row weights (trace-shell rows scale by the
+            # shell fraction; reference tilt_leaflet.py:71-73,152-153)
+            t0 = t0 * w[topo.tri_rows[:, 0], None]
+            t1 = t1 * w[topo.tri_rows[:, 1], None]
+            t2 = t2 * w[topo.tri_rows[:, 2], None]
         sq = (
             jnp.sum(t0 * t0, axis=1) + jnp.sum(t1 * t1, axis=1) + jnp.sum(t2 * t2, axis=1)
         )

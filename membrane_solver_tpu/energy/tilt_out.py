@@ -26,3 +26,12 @@ def make_tilt_frozen(spec):
     from membrane_solver_tpu.energy.tilt_leaflet import make_leaflet_tilt_frozen
 
     return make_leaflet_tilt_frozen(spec, "out")
+
+
+def compile_topology(layout) -> dict:
+    from membrane_solver_tpu.energy.tilt_leaflet import (
+        compile_trace_layer_row_weights,
+    )
+
+    w = compile_trace_layer_row_weights(layout)
+    return {} if w is None else {"row_weights": w}

@@ -295,6 +295,17 @@ class Minimizer:
         enforce = jit_core.make_constraint_enforcer(p.spec)
         if enforce is not None:
             p.state = enforce(p.state, p.topo, p.params, context="mesh_operation")
+            # position-dependent compiled payloads (e.g. the rim-matching
+            # shell rings, whose membership keys on vertex radii) were
+            # extracted from the PRE-projection positions; a refinement
+            # midpoint lands on its pinned circle only after the geometric
+            # projection above.  Recompile so the rings see the projected
+            # geometry (the reference rebuilds its payload caches on every
+            # version bump, constraint payload cache keys include
+            # mesh._version).
+            self._sync_host()
+            self.invalidate()
+            p = self.problem()
         # tilt-only constraints also re-enforce after topology surgery
         # (reference minimizer.enforce_constraints_after_mesh_ops)
         from membrane_solver_tpu.runtime import tilt_relax as _tr
@@ -329,8 +340,15 @@ class Minimizer:
         )
 
         # topology validators read only host-side connectivity, which the
-        # device never mutates — run once per topology epoch
-        tok = (id(self.mesh), getattr(self.mesh, "_topology_version", 0))
+        # device never mutates — run once per topology epoch.  The token
+        # holds the mesh object itself (not id(), which can be reused after
+        # GC) plus the validation-relevant global parameters.
+        gp_tok = tuple(
+            (k, repr(self.global_params.get(k)))
+            for k in sorted(self.global_params.to_dict())
+            if "leaflet" in k or "disk" in k or "interface" in k
+        )
+        tok = (self.mesh, getattr(self.mesh, "_topology_version", 0), gp_tok)
         if getattr(self, "_validated_topology_token", None) != tok:
             validate_leaflet_absence_topology(self.mesh, self.global_params)
             validate_disk_interface_topology(self.mesh, self.global_params)

@@ -188,11 +188,95 @@ def outer_shell_geometry(ctx) -> dict:
     }
 
 
+def _is_scaffold_trace_lane(gp) -> bool:
+    """Reference reproduce_theory_parity.py:1097-1113."""
+    return (
+        str(gp.get("rim_slope_match_mode") or "").strip().lower()
+        == "physical_edge_staggered_v1"
+        and gp.get("parity_trace_layer_radius") is not None
+        and int(gp.get("parity_outer_shells", 0) or 0) > 0
+    )
+
+
+def scaffold_split_diagnostics(ctx) -> dict:
+    """Scaffold-lane matching diagnostics: theta measured from the disk
+    ring, phi/t_in/t_out means on the matched shell (reference
+    reproduce_theory_parity.py:1113-1130 theta measurement and :1200-1216
+    outer_split assembly from matching_residual_diagnostics)."""
+    import numpy as np
+
+    from membrane_solver_tpu.constraints import rim_slope_match_out as rmod
+    from membrane_solver_tpu.device.state import build_params
+
+    mn = ctx.minimizer
+    p = mn.problem()
+    p.params = build_params(ctx.mesh)
+    if "constraint:rim_slope_match_out/rim" not in p.topo.extras:
+        return {"available": False}
+    from membrane_solver_tpu.device import geo as dgeo
+
+    positions = p.state.positions
+    valid, phi, _inv_dr, r_hat, _w, _normal, omap = rmod.matching_data(
+        positions, p.topo, p.params, interp_outer=False
+    )
+    n_rows = positions.shape[0]
+    geo = dgeo.triangle_geometry(positions, p.topo.tri_rows, p.topo.tri_valid)
+    vnormals = dgeo.vertex_normals(geo, p.topo.tri_rows, p.topo.tri_valid, n_rows)
+    row0, row1, w0, w1, r_dir, dir_ok, _denom = rmod._staggered_targets(
+        p.topo, r_hat, vnormals, omap
+    )
+    ok = np.asarray(valid & dir_ok)
+    if not ok.any():
+        return {"available": False}
+    tin = np.asarray(p.state.tilts_in)
+    tout = np.asarray(p.state.tilts_out)
+    r_dir = np.asarray(r_dir)
+    w0 = np.asarray(w0)
+    w1 = np.asarray(w1)
+    row0 = np.asarray(row0)
+    row1 = np.asarray(row1)
+    t_out_rad = w0 * np.einsum("ij,ij->i", tout[row0], r_dir) + w1 * np.einsum(
+        "ij,ij->i", tout[row1], r_dir
+    )
+    t_in_rad = w0 * np.einsum("ij,ij->i", tin[row0], r_dir) + w1 * np.einsum(
+        "ij,ij->i", tin[row1], r_dir
+    )
+    disk = np.asarray(rmod._x(p.topo, "disk"))
+    dvalid = np.asarray(rmod._x(p.topo, "disk_valid"))
+    dpos = np.asarray(positions)[disk]
+    rad = np.linalg.norm(dpos[:, :2], axis=1)
+    good = dvalid & (rad > 1e-12)
+    dr_hat = np.zeros_like(dpos)
+    dr_hat[good, :2] = dpos[good, :2] / rad[good][:, None]
+    theta_vals = np.einsum("ij,ij->i", tin[disk], dr_hat)
+    theta_disk_mean = float(np.mean(theta_vals[good])) if good.any() else 0.0
+    phi = np.asarray(phi)
+    return {
+        "available": True,
+        "phi_mean": float(np.mean(phi[ok])),
+        "t_in_mean": float(np.mean(t_in_rad[ok])),
+        "t_out_mean": float(np.mean(t_out_rad[ok])),
+        "theta_disk_mean": theta_disk_mean,
+    }
+
+
 def collect_report(ctx, fixture: Path, protocol=DEFAULT_PROTOCOL) -> dict:
     mn = ctx.minimizer
     gp = ctx.mesh.global_parameters
     breakdown = mn.compute_energy_breakdown()
     theta_meas = float(gp.get("tilt_thetaB_value") or 0.0)
+    outer_split = {"available": False}
+    if _is_scaffold_trace_lane(gp):
+        outer_split = scaffold_split_diagnostics(ctx)
+        if outer_split.get("available"):
+            # scaffold lanes measure theta from the disk-boundary directors
+            # instead of the (unscanned) scalar parameter
+            theta_meas = float(outer_split["theta_disk_mean"])
+            outer_split["phi_over_half_theta"] = (
+                float(outer_split["phi_mean"] / (0.5 * theta_meas))
+                if abs(theta_meas) > 1e-16
+                else 0.0
+            )
     contact_meas = float(breakdown.get("tilt_thetaB_contact_in") or 0.0)
     elastic_meas = float(
         (breakdown.get("tilt_in") or 0.0)
@@ -249,7 +333,10 @@ def collect_report(ctx, fixture: Path, protocol=DEFAULT_PROTOCOL) -> dict:
                 kappa_t=DEFAULT_TEX_TILT_MODULUS,
                 **common,
             ),
-            "diagnostics": {"outer_shell_geometry": outer_shell_geometry(ctx)},
+            "diagnostics": {
+                "outer_shell_geometry": outer_shell_geometry(ctx),
+                "outer_split": outer_split,
+            },
         },
     }
 
