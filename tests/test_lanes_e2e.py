@@ -15,16 +15,23 @@ Tolerances per lane:
 - square_to_circle, catenoid, bending: no cache artifacts on these
   trajectories -> machine-precision parity (1e-10 / 1e-8).
 - cap, two_disks_sphere, dented_cube: the reference's in-place enforcement
-  passes act on stale position views.  Recorded examples: the dented_cube
-  entry "hard projection" leaves the body at V=0.5096 against target 1.0
-  (the volume module reads the pre-dent positions), deferring inflation to
-  the next step's drift check; the cap finalize projection composes with
-  the line search's in-place mutations ~2e-8 differently than a clean
-  evaluation of the same accepted state.  This solver's pure-functional
-  state cannot reproduce those order-dependent artifacts; the trajectories
-  re-converge as the lanes relax (recorded worst/final relative deltas:
-  cap 4.4e-3/4.2e-3, two_disks 4.0e-3/9.0e-4, dented_cube 2.1e-2/7.6e-5),
-  and the tolerances below bracket them.
+  passes act on stale position views.  The decisive repro
+  (tools/ref_entry_enforcement_corruption_repro.py): on the unit cube with
+  its volume constraint exactly satisfied, the reference's own
+  minimize-entry `enforce_constraints_after_mesh_ops` crushes the mesh
+  (E 6.0 -> 3.7566, vertex (0,0,0) -> (0.486, 0, 0.486)); every
+  line-search energy in the process is then evaluated against the
+  corrupted state, so the recorded traces follow a stale-view zigzag
+  (dented_cube step-0 "energy" 3.75 -> step-1 5.79).  Additionally,
+  multi-iteration solves reuse stale tilt-payload intermediates across
+  iterations: single-iteration relax calls match this solver bit-for-bit
+  (4e-17) with identical clean gradients at the iteration-2 entry state
+  (1e-15), yet the reference's in-loop second iteration lands 2.5e-3
+  elsewhere.  This solver's pure-functional state cannot reproduce those
+  order-dependent artifacts; the trajectories re-converge as the lanes
+  relax (recorded worst/final relative deltas: cap 4.4e-3/4.2e-3,
+  two_disks 4.0e-3/9.0e-4, dented_cube 2.1e-2/7.6e-5), and the tolerances
+  below bracket them.  See the recorded exemption in BASELINE.md.
 """
 
 import json
