@@ -160,6 +160,24 @@ def compile_topology(layout) -> dict:
     }
 
 
+def compile_static(layout):
+    """Hashable flag: does the rigid fit include the rim-radius pinning pass?
+
+    The flag gates a structurally different program (double Kabsch fit with
+    rim re-pinning), so it must be a trace-time constant — reading it from
+    the traced extras raised TracerArrayConversionError whenever the
+    enforcer was traced with an abstract topo.
+    """
+    gp = layout.mesh.global_parameters
+    radius = gp.get("rigid_disk_radius")
+    if radius is None:
+        defs = getattr(layout.mesh, "definitions", {}) or {}
+        disk_def = defs.get("disk") if isinstance(defs.get("disk"), dict) else None
+        if disk_def:
+            radius = disk_def.get("pin_to_circle_radius")
+    return ("has_radius", radius is not None)
+
+
 def make_constraint_gradient_rows(spec):
     def fn(state, topo, params):
         if f"{_PREFIX}/rows" not in topo.extras:
@@ -233,7 +251,8 @@ def make_enforce(spec):
         t = Qc - R @ Pc
         corrected = ref @ R.T + t
 
-        has_radius = bool(np.asarray(x("has_radius")))
+        _k, _v = spec.static_of(_PREFIX, ("has_radius", False))
+        has_radius = bool(_v)
         if has_radius:
             rim_local = x("rim_local")
             rim_valid = x("rim_valid")

@@ -150,19 +150,22 @@ def rim_source_energy(state, topo, params, *, prefix: str, strength_key: str, fi
 
     rim_rows = x("rim_rows")
     rim_valid = x("rim_valid")
-    follow = bool(x("follow"))
-    if follow:
-        pts = positions[rim_rows]
-        w = rim_valid.astype(dtype)[:, None]
-        center = jnp.sum(pts * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-        if bool(x("has_normal")):
-            normal = jnp.asarray(x("normal"), dtype)
-        else:
-            rel = (pts - center) * w
-            normal = dlinalg.smallest_eigvec_3x3(rel.T @ rel)
-    else:
-        center = jnp.asarray(x("center"), dtype)
-        normal = jnp.asarray(x("normal"), dtype)
+    # ``follow`` (pin_to_circle_mode == fit: track the live rim frame) is a
+    # device scalar in the compiled extras; select with where so the energy
+    # traces under jit regardless of the lane (positions are
+    # stop_gradient'ed above, so the untaken branch cannot leak NaNs into
+    # gradients)
+    follow = x("follow")
+    has_normal = x("has_normal")
+    pts = positions[rim_rows]
+    w = rim_valid.astype(dtype)[:, None]
+    centroid = jnp.sum(pts * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    rel = (pts - centroid) * w
+    fit_normal = dlinalg.smallest_eigvec_3x3(rel.T @ rel)
+    static_center = jnp.asarray(x("center"), dtype)
+    static_normal = jnp.asarray(x("normal"), dtype)
+    center = jnp.where(follow, centroid, static_center)
+    normal = jnp.where(follow & ~has_normal, fit_normal, static_normal)
 
     r = mid - center
     r = r - jnp.sum(r * normal, axis=1, keepdims=True) * normal

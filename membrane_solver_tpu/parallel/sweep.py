@@ -131,13 +131,14 @@ def run_sweep(
     options: jit_core.MinimizeOptions | None = None,
     device_mesh: Mesh | None = None,
     tol: float = 1e-6,
+    member_positions: Sequence[np.ndarray] | None = None,
 ):
     """Convenience: batch, shard, minimize.
 
     Returns (batched states, batched stepper states, batched stats).
     """
     options = options or jit_core.MinimizeOptions()
-    batch = batch_problem(problem, member_params)
+    batch = batch_problem(problem, member_params, member_positions=member_positions)
     run = make_sweep_minimize(problem.spec, options, device_mesh)
     n = batch.n_members
     stepper_states = jax.vmap(lambda _: jit_core.fresh_stepper_state(problem.spec.nv_cap, kind=options.stepper))(

@@ -55,6 +55,170 @@ SCENARIOS = {
     "kozlov_1disk": ("gen:kozlov_1disk", ["g10", "u", "g10"]),
 }
 
+# scenarios ported from the reference's benchmarks/ directory that drive the
+# solver through its library surface instead of an instruction recipe
+# (reference benchmark_kozlov_1disk_3d_tensionless.py et al.); lanes that
+# read the mounted reference's input meshes skip cleanly when absent
+REF_ROOT = Path("/root/reference")
+
+
+def _minimize_lane(path, gp_updates, n_steps, step_size=None):
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+
+    mesh = parse_geometry(load_data(str(path)))
+    mesh.global_parameters.update(gp_updates)
+    mn = Minimizer(mesh, quiet=True)
+    if step_size is not None:
+        mn.step_size = float(step_size)
+    t0 = time.perf_counter()
+    mn.minimize(n_steps)
+    return time.perf_counter() - t0, float(mn.compute_energy())
+
+
+def run_kozlov_tensionless():
+    """reference benchmarks/benchmark_kozlov_1disk_3d_tensionless.py:38-70"""
+    return _minimize_lane(
+        REF_ROOT / "benchmarks/inputs/bench_kozlov_1disk_tensionless_single_leaflet_source.yaml",
+        {
+            "bending_modulus_in": 1.0,
+            "bending_modulus_out": 1.0,
+            "tilt_modulus_in": 135.0,
+            "tilt_modulus_out": 135.0,
+            "tilt_rim_source_strength_in": 5000.0,
+            "tilt_solve_mode": "coupled",
+            "tilt_step_size": 0.05,
+            "tilt_inner_steps": 60,
+            "tilt_tol": 1e-12,
+            "step_size": 0.003,
+            "step_size_mode": "fixed",
+        },
+        120,
+        step_size=0.003,
+    )
+
+
+def run_induction_quick():
+    """reference benchmarks/benchmark_kozlov_1disk_3d_induction_quick.py:34-60"""
+    return _minimize_lane(
+        REF_ROOT / "benchmarks/inputs/bench_kozlov_1disk_induction_quick.yaml",
+        {
+            "surface_tension": 0.0,
+            "tilt_rim_source_contact_units": "solver",
+            "tilt_rim_source_contact_h_in": 1.0,
+            "tilt_rim_source_contact_delta_epsilon_over_a_in": 40.0,
+            "tilt_solve_mode": "nested",
+            "tilt_step_size": 0.15,
+            "tilt_inner_steps": 40,
+            "tilt_tol": 1e-10,
+            "step_size": 0.006,
+            "step_size_mode": "fixed",
+        },
+        30,
+        step_size=0.006,
+    )
+
+
+def run_tilt_relaxation():
+    """One nested inner tilt relaxation pass on the Milestone C mesh
+    (reference benchmarks/benchmark_tilt_relaxation.py:40-62)."""
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+
+    mesh = parse_geometry(
+        load_data(str(REF_ROOT / "meshes/caveolin/kozlov_annulus_milestone_c_soft_source.yaml"))
+    )
+    mesh.global_parameters.update(
+        {"tilt_solve_mode": "nested", "tilt_inner_steps": 50,
+         "tilt_step_size": 0.05, "tilt_tol": 0.0}
+    )
+    mn = Minimizer(mesh, quiet=True)
+    mn.enforce_constraints_after_mesh_ops()
+    t0 = time.perf_counter()
+    mn.relax_leaflet_tilts(max_iters=50, step_size=0.05, tol=0.0)
+    return time.perf_counter() - t0, float(mn.compute_energy())
+
+
+def run_annulus_decay_length():
+    """Refine x2, relax 400 nested iterations, fit |t(r)| ~ A exp(-(r-r0)/lam)
+    (reference benchmarks/benchmark_kozlov_annulus_decay_length.py:50-160)."""
+    import numpy as np
+
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+    from membrane_solver_tpu.runtime.refinement import refine_triangle_mesh
+
+    mesh = parse_geometry(
+        load_data(str(REF_ROOT / "meshes/caveolin/kozlov_annulus_flat_hard_source.yaml"))
+    )
+    for _ in range(2):
+        mesh = refine_triangle_mesh(mesh)
+    mn = Minimizer(mesh, quiet=True)
+    t0 = time.perf_counter()
+    mn.relax_leaflet_tilts(max_iters=400, step_size=0.05, tol=0.0)
+    p = mn.problem()
+    positions = np.asarray(p.state.positions)[: p.n_vertices]
+    mags = np.linalg.norm(np.asarray(p.state.tilts_in)[: p.n_vertices], axis=1)
+    radii = np.linalg.norm(positions[:, :2], axis=1)
+    # radial binning + log-linear fit over the interior range (1.2, 2.7)
+    bins = np.linspace(radii.min(), radii.max(), 25)
+    idx = np.clip(np.digitize(radii, bins) - 1, 0, 23)
+    m_centers = np.array([mags[idx == b].mean() if (idx == b).any() else 0.0 for b in range(24)])
+    r_centers = 0.5 * (bins[:-1] + bins[1:])
+    mask = (r_centers >= 1.2) & (r_centers <= 2.7) & (m_centers > 1e-12)
+    lam = float("nan")
+    if mask.sum() >= 3:
+        slope, _ = np.polyfit(r_centers[mask], np.log(m_centers[mask]), 1)
+        if slope < 0:
+            lam = -1.0 / slope
+    elapsed = time.perf_counter() - t0
+    return elapsed, lam
+
+
+def run_volume_optimization():
+    """100 volume-penalty energy+gradient assemblies on a 6k-vertex sphere
+    (reference benchmarks/benchmark_volume_optimization.py:98-130)."""
+    from membrane_solver_tpu import Minimizer, parse_geometry
+    from membrane_solver_tpu.meshgen import build
+
+    data = build("sphere", n_subdiv=5)
+    data.setdefault("global_parameters", {})
+    data["global_parameters"]["volume_constraint_mode"] = "penalty"
+    data["global_parameters"]["volume_stiffness"] = 10.0
+    mesh = parse_geometry(data)
+    mn = Minimizer(mesh, quiet=True, energy_modules=["surface", "volume"])
+    E, _g = mn.compute_energy_and_gradient_array()  # compile
+    t0 = time.perf_counter()
+    for _ in range(100):
+        E, _g = mn.compute_energy_and_gradient_array()
+    return time.perf_counter() - t0, float(E)
+
+
+def run_free_disk_light():
+    """profile_relax_light macro on the free-disk hard-rim mesh (reference
+    benchmarks/benchmark_kozlov_1disk_3d_profile_hard_rim_free_disk_light.py)."""
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+    from membrane_solver_tpu.commands.context import CommandContext
+    from membrane_solver_tpu.commands.executor import execute_command_line
+
+    mesh = parse_geometry(load_data(str(
+        REF_ROOT
+        / "meshes/caveolin/kozlov_1disk_3d_tensionless_single_leaflet_profile_hard_rim_R12_free_disk.yaml"
+    )))
+    mn = Minimizer(mesh, quiet=True)
+    ctx = CommandContext(mesh=mesh, minimizer=mn)
+    t0 = time.perf_counter()
+    execute_command_line(ctx, "profile_relax_light")
+    ctx.sync_mesh()
+    return time.perf_counter() - t0, float(ctx.minimizer.compute_energy())
+
+
+RUNNER_SCENARIOS = {
+    "kozlov_tensionless": run_kozlov_tensionless,
+    "kozlov_induction_quick": run_induction_quick,
+    "tilt_relaxation": run_tilt_relaxation,
+    "annulus_decay_length": run_annulus_decay_length,
+    "volume_optimization": run_volume_optimization,
+    "kozlov_free_disk_light": run_free_disk_light,
+}
+
 
 def load_scenario(name: str):
     from membrane_solver_tpu import load_data, parse_geometry
@@ -75,6 +239,9 @@ def run_scenario(name: str, quiet: bool = True):
     from membrane_solver_tpu.commands.context import CommandContext
     from membrane_solver_tpu.commands.executor import execute_command_line
     from membrane_solver_tpu.runtime.minimizer import Minimizer
+
+    if name in RUNNER_SCENARIOS:
+        return RUNNER_SCENARIOS[name]()
 
     mesh, instructions = load_scenario(name)
     minim = Minimizer(mesh, quiet=quiet)
@@ -119,11 +286,17 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    names = args.names or list(SCENARIOS)
-    unknown = [n for n in names if n not in SCENARIOS]
+    known = set(SCENARIOS) | set(RUNNER_SCENARIOS)
+    names = args.names or list(SCENARIOS) + list(RUNNER_SCENARIOS)
+    unknown = [n for n in names if n not in known]
     if unknown:
-        print(f"unknown scenarios: {unknown}; known: {sorted(SCENARIOS)}")
+        print(f"unknown scenarios: {unknown}; known: {sorted(known)}")
         return 2
+    if not REF_ROOT.exists():
+        skipped = [n for n in names if n in RUNNER_SCENARIOS and n != "volume_optimization"]
+        if skipped:
+            print(f"reference not mounted; skipping {skipped}")
+        names = [n for n in names if n not in skipped]
 
     history = load_history()
     regressions = []
