@@ -17,6 +17,15 @@ Parity targets:
   mixed-Voronoi corner areas with obtuse branches);
 - ``p1_divergence_pallas``       — reference fortran_kernels/tilt_kernels.f90:26-86
   (P1 shape gradients g_i = (n x e_i) / |n|^2, div = sum t_i . g_i).
+
+Production status (measured, benchmarks/TRI_KERNELS_NULL_RESULT.md): the
+shape-step pipelines stay stock XLA — on the real TPU the Pallas variants
+are identical to XLA within tunnel noise at every production shape (the
+pipelines are bound by the shared gather/scatter, which XLA already fuses
+the per-triangle math into).  These kernels are retained as parity-tested
+references (the NumPy-vs-Fortran analog) and as the tiling/layout
+infrastructure for ``frozen_tilt.py``, which IS wired into the tilt inner
+loop where a six-term fusion over one corner gather does win.
 """
 
 from __future__ import annotations
