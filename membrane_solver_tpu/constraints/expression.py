@@ -21,8 +21,8 @@ import numpy as np
 
 from membrane_solver_tpu.core.expr import compile_expr, expr_free_names
 
-TOL = 1e-10
-MAX_ITER = 3
+TOL = 1e-12  # reference enforce_constraint tol
+MAX_ITER = 5  # reference enforce_constraint max_iter
 
 
 def _spec_of(options):

@@ -46,6 +46,8 @@ KOZLOV_GP = {
     "tilt_rim_source_edge_mode": "all",
     "tilt_thetaB_value": 0.27,
     "tilt_thetaB_contact_penalty_mode": "legacy",
+    "curved_local_interface_law_strength": 0.8,
+    "curved_local_interface_penalty_strength": 0.7,
 }
 
 KOZLOV_MODULES = [
@@ -62,9 +64,12 @@ KOZLOV_MODULES = [
     "tilt_rim_source_out",
     "tilt_rim_source_bilayer",
     "tilt_thetaB_contact_in",
+    "curved_local_interface_law",
+    "curved_local_interface_penalty",
 ]
 VERTEX_MODULES = ["tilt", "tilt_smoothness", "bending_tilt"]
 FLAT_MODULES = ["surface", "jordan_area", "edge_length_penalty", "expression", "line_tension"]
+CUBE_BODY_MODULES = ["body_area_penalty"]
 
 
 def _tag_disk_targets(mesh):
@@ -99,6 +104,10 @@ def _compile(lane, modules, seed_fields):
         rng = np.random.default_rng(31)
         for vid in sorted(mesh.vertices):
             mesh.vertices[int(vid)].position[2] += 0.02 * rng.standard_normal()
+    elif lane == "cube_body":
+        from tools.record_module_parity import cube_body_dict
+
+        mesh = parse_geometry(json.loads(json.dumps(cube_body_dict())))
     else:
         from tools.record_module_parity import flat_lane_dict
 
@@ -188,3 +197,14 @@ def test_vertex_module_parity(vertex_compiled, name):
 def test_flat_module_parity(flat_compiled, name):
     p, params = flat_compiled
     _check(p, params, "flat", name)
+
+
+@pytest.fixture(scope="module")
+def cube_body_compiled():
+    return _compile("cube_body", CUBE_BODY_MODULES, [])
+
+
+@pytest.mark.parametrize("name", CUBE_BODY_MODULES)
+def test_cube_body_module_parity(cube_body_compiled, name):
+    p, params = cube_body_compiled
+    _check(p, params, "cube_body", name)

@@ -68,6 +68,9 @@ KOZLOV_GP = {
     # make the thetaB contact term non-degenerate
     "tilt_thetaB_value": 0.27,
     "tilt_thetaB_contact_penalty_mode": "legacy",
+    # curved local-interface family on the shell family near r=R
+    "curved_local_interface_law_strength": 0.8,
+    "curved_local_interface_penalty_strength": 0.7,
 }
 
 
@@ -95,9 +98,27 @@ KOZLOV_MODULES = [
     "tilt_rim_source_out",
     "tilt_rim_source_bilayer",
     "tilt_thetaB_contact_in",
+    "curved_local_interface_law",
+    "curved_local_interface_penalty",
 ]
 
 VERTEX_MODULES = ["tilt", "tilt_smoothness", "bending_tilt"]
+
+
+def cube_body_dict() -> dict:
+    """Unit cube with a soft body-area target (body_area_penalty lane)."""
+    from membrane_solver_tpu.meshgen import build
+
+    data = build("cube")
+    data.setdefault("global_parameters", {})["area_stiffness"] = 2.5
+    # explicit-map body form carries arbitrary options (area_target)
+    faces = data["bodies"]["faces"][0]
+    data["bodies"] = {"0": {"faces": faces, "area_target": 5.5}}
+    data.pop("instructions", None)
+    return data
+
+
+CUBE_BODY_MODULES = ["body_area_penalty"]
 
 FLAT_GP = {
     "surface_tension": 0.55,
@@ -237,6 +258,10 @@ def main() -> None:
     record_lane("kozlov", KOZLOV, KOZLOV_GP, KOZLOV_MODULES, leaflet=True, vertex_field=False)
     record_lane("kozlov_vertex", KOZLOV, KOZLOV_GP, VERTEX_MODULES, leaflet=False, vertex_field=True)
     record_lane("flat", flat_lane_dict(), {}, FLAT_MODULES, leaflet=False, vertex_field=False)
+    record_lane(
+        "cube_body", cube_body_dict(), {}, CUBE_BODY_MODULES,
+        leaflet=False, vertex_field=False,
+    )
     print("done")
 
 
