@@ -124,11 +124,18 @@ def test_physical_edge_interface_lane(lane):
     Module-level E/grad parity on these lanes is machine-epsilon (see
     tests/test_tilt_module_parity.py and the adjoint-surrogate notes in
     energy/bending_tilt_leaflet.py); the end-to-end trajectory still
-    differs in the thetaB-optimize candidate-relax budget (the reference
-    scores candidates with a partially-converged 60-step probe whose
-    stopping point depends on its CG internals), so theta lands within one
-    0.01 grid step of the recorded baseline rather than exactly on it.
-    Asserted here: the structural diagnostics the reference pins
+    differs in the thetaB-optimize candidate-relax budget: the reference
+    scores candidates with a partially-converged 60-step probe, and its
+    multi-iteration inner solves are NOT reproducible by clean evaluation
+    — measured on the scaffold lane, a single relax iteration matches
+    this solver bit-for-bit (4e-17) and the clean KKT-projected gradients
+    at the iteration-2 entry state agree to 1e-15, yet the reference's
+    in-loop second iteration lands 2.5e-3 elsewhere because it reuses
+    stale tilt-payload intermediates across iterations (its own recorded
+    g5 != g1;g1;g1;g1;g1 class, tests/fixtures/ref_stale_cache_traces.json).
+    Candidate ties therefore flip near the grid resolution and theta lands
+    within one 0.01 grid step of the recorded baseline rather than exactly
+    on it.  Asserted here: the structural diagnostics the reference pins
     (physical_edge_local_shell construction, disk radius 7/15, sub-unit
     first shell) and theta/energy within the documented envelope.
     """
