@@ -68,11 +68,34 @@ def analyze_mesh(path: Path) -> Dict:
     breakdown = {k: float(v) for k, v in minim.compute_energy_breakdown().items()}
     tin = np.asarray(p.state.tilts_in)[:nv]
     tout = np.asarray(p.state.tilts_out)[:nv]
+    # shape observables (reference multidisk_sweep.py:9 — area, volume,
+    # surface radius of gyration, min edge length)
+    area = float(mesh.compute_total_surface_area())
+    volume = float(sum(mesh.body_volume(b) for b in mesh.bodies.values()) or 0.0)
+    centroid = pos.mean(axis=0)
+    rg = float(np.sqrt(np.mean(np.sum((pos - centroid) ** 2, axis=1))))
+    edge_rows = np.asarray(
+        [
+            [row_of[e.tail_index], row_of[e.head_index]]
+            for e in mesh.edges.values()
+            if e.tail_index in row_of and e.head_index in row_of
+        ],
+        dtype=int,
+    )
+    min_edge = (
+        float(np.linalg.norm(pos[edge_rows[:, 0]] - pos[edge_rows[:, 1]], axis=1).min())
+        if len(edge_rows)
+        else 0.0
+    )
     return {
         "file": path.name,
         "separation": separation,
         "energy": float(minim.compute_energy()),
         "max_height": float(np.abs(pos[:, 2]).max()),
+        "area": area,
+        "volume": volume,
+        "radius_of_gyration": rg,
+        "min_edge_length": min_edge,
         "rim_tilt_in_max": float(np.linalg.norm(tin, axis=1).max()),
         "rim_tilt_out_max": float(np.linalg.norm(tout, axis=1).max()),
         **{f"E_{k}": v for k, v in breakdown.items()},
@@ -105,6 +128,8 @@ def run_sweep(mesh_dir: Path, out_dir: Path, plot: bool = True) -> List[Dict]:
 
 
 def _plot(rows: List[Dict], out_dir: Path) -> None:
+    import numpy as np
+
     try:
         import matplotlib
 
@@ -115,17 +140,52 @@ def _plot(rows: List[Dict], out_dir: Path) -> None:
     L = [r["separation"] for r in rows]
     E = [r["energy"] for r in rows]
     e_inf = E[-1]  # largest separation approximates isolated disks
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
-    ax1.plot(L, E, "o-")
-    ax1.set_xlabel("separation L")
-    ax1.set_ylabel("total energy")
-    ax2.plot(L, [e - e_inf for e in E], "o-")
-    ax2.axhline(0.0, color="0.6", lw=0.8)
-    ax2.set_xlabel("separation L")
-    ax2.set_ylabel("interaction energy E(L) − E(∞)")
+
+    # energy_vs_L.png (reference multidisk_sweep.py:414)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(L, E, "o-")
+    ax.set_xlabel("separation L")
+    ax.set_ylabel("total energy")
+    ax.set_title("Energy vs separation")
     fig.tight_layout()
     fig.savefig(out_dir / "energy_vs_L.png", dpi=130)
     plt.close(fig)
+
+    # interaction_energy_vs_L.png (reference :425)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(L, [e - e_inf for e in E], "o-")
+    ax.axhline(0.0, color="0.6", lw=0.8)
+    ax.set_xlabel("separation L")
+    ax.set_ylabel("interaction energy E(L) − E(∞)")
+    ax.set_title("Disk–disk interaction energy")
+    fig.tight_layout()
+    fig.savefig(out_dir / "interaction_energy_vs_L.png", dpi=130)
+    plt.close(fig)
+
+    # observables_vs_L.png (reference :441 — shape observables panel)
+    obs_keys = [
+        ("area", "area"),
+        ("volume", "volume"),
+        ("radius_of_gyration", "R_g"),
+        ("min_edge_length", "min edge"),
+        ("max_height", "max |z|"),
+        ("rim_tilt_in_max", "max |t_in|"),
+    ]
+    avail = [(k, lbl) for k, lbl in obs_keys if any(k in r for r in rows)]
+    if avail:
+        fig, axes = plt.subplots(
+            2, (len(avail) + 1) // 2, figsize=(4 * ((len(avail) + 1) // 2), 7)
+        )
+        for axo, (k, lbl) in zip(np.ravel(axes), avail):
+            axo.plot(L, [r.get(k, float("nan")) for r in rows], "o-")
+            axo.set_xlabel("separation L")
+            axo.set_ylabel(lbl)
+        for axo in np.ravel(axes)[len(avail):]:
+            axo.set_axis_off()
+        fig.suptitle("Shape observables vs separation")
+        fig.tight_layout()
+        fig.savefig(out_dir / "observables_vs_L.png", dpi=130)
+        plt.close(fig)
 
 
 def main(argv=None) -> int:

@@ -21,7 +21,22 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tilt", action="store_true", help="color facets by |tilt|")
     ap.add_argument("--divergence", action="store_true",
                     help="color facets by P1 tilt divergence")
+    ap.add_argument("--color-by", default=None,
+                    choices=["tilt", "tilt_in", "tilt_out", "tilt_bilayer",
+                             "div", "div_in", "div_out"],
+                    help="explicit facet color mode (per-leaflet variants)")
     ap.add_argument("--tilt-arrows", action="store_true")
+    ap.add_argument("--tilt-arrows-max", type=int, default=2000)
+    ap.add_argument("--tilt-arrow-scale", type=float, default=0.1)
+    ap.add_argument("--tilt-streamlines", action="store_true",
+                    help="trace mesh-graph streamlines along the tilt field")
+    ap.add_argument("--streamlines-max", type=int, default=200)
+    ap.add_argument("--streamlines-steps", type=int, default=80)
+    ap.add_argument("--patch-boundaries", action="store_true",
+                    help="overlay facet patch-label boundaries")
+    ap.add_argument("--patch-key", default="disk_patch")
+    ap.add_argument("--no-colorbar", action="store_true")
+    ap.add_argument("--no-axes", action="store_true")
     ap.add_argument("--no-edges", action="store_true")
     ap.add_argument("--vertices", action="store_true")
     ap.add_argument("--indices", action="store_true")
@@ -61,15 +76,26 @@ def main(argv=None) -> int:
         ctx.sync_mesh()
         mesh = ctx.mesh
 
-    color_by = "divergence" if args.divergence else ("tilt" if args.tilt else None)
+    color_by = args.color_by or (
+        "divergence" if args.divergence else ("tilt" if args.tilt else None)
+    )
     plot_geometry(
         mesh,
         color_by=color_by,
+        show_colorbar=False if args.no_colorbar else None,
         show_tilt_arrows=args.tilt_arrows,
+        tilt_arrows_max=args.tilt_arrows_max,
+        tilt_arrow_scale=args.tilt_arrow_scale,
+        show_tilt_streamlines=args.tilt_streamlines,
+        tilt_streamlines_max=args.streamlines_max,
+        tilt_streamlines_steps=args.streamlines_steps,
+        show_patch_boundaries=args.patch_boundaries,
+        patch_key=args.patch_key,
         show_edges=not args.no_edges,
         show_vertices=args.vertices,
         show_indices=args.indices,
         show_boundary_loops=args.boundary_loops,
+        no_axes=args.no_axes,
         alpha=args.alpha,
         title=args.title or args.input,
         show=args.save is None,
