@@ -178,11 +178,22 @@ def run_volume_optimization():
     from membrane_solver_tpu import Minimizer, parse_geometry
     from membrane_solver_tpu.meshgen import build
 
-    data = build("sphere", n_subdiv=5)
+    data = build("sphere")
     data.setdefault("global_parameters", {})
     data["global_parameters"]["volume_constraint_mode"] = "penalty"
     data["global_parameters"]["volume_stiffness"] = 10.0
+    data.pop("instructions", None)
     mesh = parse_geometry(data)
+    from membrane_solver_tpu.runtime.refinement import refine_triangle_mesh
+
+    import numpy as np
+
+    for _ in range(5):  # 8 -> 8192 triangles (reference subdivisions=5)
+        mesh = refine_triangle_mesh(mesh)
+        for v in mesh.vertices.values():  # project back to the sphere
+            n = np.linalg.norm(np.asarray(v.position, dtype=float))
+            if n > 1e-12:
+                v.position[:] = np.asarray(v.position) / n
     mn = Minimizer(mesh, quiet=True, energy_modules=["surface", "volume"])
     E, _g = mn.compute_energy_and_gradient_array()  # compile
     t0 = time.perf_counter()
