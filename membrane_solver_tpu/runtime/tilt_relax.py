@@ -462,6 +462,32 @@ class TiltRelaxStats:
     final_gradient_norm: jnp.ndarray
 
 
+_MAKER_CACHE: dict = {}
+
+
+def _memo_by_spec(maker):
+    """Memoize a make_*(spec) factory by spec, and jit its product.
+
+    The direct host entry points (theta_B candidate scans, the
+    Minimizer.relax_leaflet_tilts surface, telemetry probes) used to
+    rebuild the whole relax closure per call, re-tracing the inner CG
+    while_loop every time — ~2 s/step of pure tracing on the
+    profile_relax_light lane.  One traced program per (spec, factory) now
+    serves every later call.
+    """
+    import functools
+
+    @functools.wraps(maker)
+    def wrapped(spec):
+        key = (maker.__name__, spec)
+        if key not in _MAKER_CACHE:
+            _MAKER_CACHE[key] = jax.jit(maker(spec))
+        return _MAKER_CACHE[key]
+
+    return wrapped
+
+
+@_memo_by_spec
 def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
     """relax(state, topo, params) -> (state, TiltRelaxStats), fully traced."""
     tilt_energy = make_tilt_energy(spec)
@@ -850,6 +876,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
     return relax
 
 
+@_memo_by_spec
 def make_relax_vertex_tilts(spec: ProblemSpec) -> Callable:
     """Single-field tilt relaxation (the reference's _relax_tilts path).
 
