@@ -371,6 +371,9 @@ def make_constraint_enforcer(spec: ProblemSpec) -> Callable | None:
     (constraint_manager.py:877-887); other constraints always enforce.
     ``context`` is a static (trace-time) string.
     """
+    key = (spec, "__enforcer__")
+    if key in _BLOCK_CACHE:
+        return _BLOCK_CACHE[key]
     from membrane_solver_tpu.constraints import get_constraint
 
     enforcers = []
@@ -394,7 +397,13 @@ def make_constraint_enforcer(spec: ProblemSpec) -> Callable | None:
             state = fn(state, topo, params, context=context)
         return state
 
-    return enforce
+    # jit with the context static: eager per-module enforcement dispatched
+    # dozens of tiny device ops per call — ~1 ms/op through the TPU tunnel
+    # dominated the small-lane minimize-entry cost.  (Module concrete-peek
+    # helpers are written to work under tracing; see e.g.
+    # constraints/pin_to_circle._any_compile_time.)
+    _BLOCK_CACHE[key] = jax.jit(enforce, static_argnames=("context",))
+    return _BLOCK_CACHE[key]
 
 
 # ----------------------------------------------------------------------

@@ -99,8 +99,13 @@ def make_tilt_constraint_rows(spec: ProblemSpec) -> Callable:
     return rows
 
 
+_TILT_ENFORCER_CACHE: dict = {}
+
+
 def make_tilt_enforcer(spec: ProblemSpec) -> Callable:
     """Kinematic tilt-constraint projection across modules (enforce_tilt_constraints)."""
+    if spec in _TILT_ENFORCER_CACHE:
+        return _TILT_ENFORCER_CACHE[spec]
     from membrane_solver_tpu.constraints import get_constraint
 
     fns = []
@@ -116,7 +121,10 @@ def make_tilt_enforcer(spec: ProblemSpec) -> Callable:
             state = fn(state, topo, params)
         return state
 
-    return enforce
+    # jit: the eager per-module projection dispatched many tiny device ops
+    # per call, which dominates through the TPU tunnel on small lanes
+    _TILT_ENFORCER_CACHE[spec] = jax.jit(enforce)
+    return _TILT_ENFORCER_CACHE[spec]
 
 
 def make_tilt_projector(rows):
