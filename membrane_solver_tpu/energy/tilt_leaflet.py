@@ -104,15 +104,48 @@ def make_leaflet_energy(spec, leaflet: str):
     return fn
 
 
+def make_leaflet_inloop_energy(spec, leaflet: str):
+    """Relax-loop energy: the reference's magnitude-penalty fast path.
+
+    See :func:`make_leaflet_tilt_frozen` — same semantics (always lumped,
+    no row weights, present-mask for the outer leaflet only), in the
+    unfrozen ``fn(geo, state, topo, params)`` form used by
+    ``tilt_relax.make_tilt_energy`` when no frozen program is available.
+    """
+
+    def fn(geo, state, topo, params):
+        from membrane_solver_tpu.energy.leaflet_presence import present_triangles
+
+        k = params.get(f"tilt_modulus_{leaflet}", jnp.asarray(0.0))
+        tilts = state.tilts_in if leaflet == "in" else state.tilts_out
+        present = present_triangles(topo, "out") if leaflet == "out" else None
+        return leaflet_energy(geo, tilts, topo, k, "lumped", present, weights=None)
+
+    return fn
+
+
 def make_leaflet_tilt_frozen(spec, leaflet: str):
     """Frozen split for the inner tilt solve (positions constant).
 
-    precompute() bakes the masked triangle areas once per relax call; the
-    per-iteration energy is then just corner gathers + the quadratic mass
-    form — the identical arithmetic as :func:`leaflet_energy` on frozen
-    positions, so values and tilt gradients match the full path exactly.
+    IN-LOOP SEMANTICS — this is deliberately NOT the clean module energy.
+    The reference's inner relax always passes precomputed barycentric vertex
+    areas, which routes tilt_in/tilt_out through the evaluation manager's
+    magnitude-penalty fast path (evaluation_manager.py:561-575 energies,
+    658-691 gradients): E = 1/2 k sum_v |t_v|^2 A_v with
+
+      * LUMPED mass always — ``tilt_mass_mode_* = consistent`` is silently
+        bypassed in-loop (the clean compute_energy/breakdown still honors
+        it, so the relax descends a slightly different objective than the
+        score; measured 3.05e-4 on the i50 interface lane entry state);
+      * NO active-row/trace-layer weights (module-internal machinery the
+        fast path never reaches);
+      * areas: inner leaflet = barycentric over ALL triangles, outer
+        leaflet = leaflet-present triangles only
+        (tilt_relaxation.py:668-697).
+
+    precompute() bakes those areas once per relax call; the per-iteration
+    energy is just corner gathers + the quadratic form.
     """
-    mass_mode = spec.option(f"tilt_mass_mode_{leaflet}", spec.option("tilt_mass_mode", "lumped"))
 
     def precompute(state, topo, params):
         from membrane_solver_tpu.device import geo as dgeo
@@ -120,9 +153,10 @@ def make_leaflet_tilt_frozen(spec, leaflet: str):
 
         geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
         area = geo.area
-        present = present_triangles(topo, leaflet)
-        if present is not None:
-            area = jnp.where(present, area, 0.0)
+        if leaflet == "out":
+            present = present_triangles(topo, "out")
+            if present is not None:
+                area = jnp.where(present, area, 0.0)
         return {"area": area}
 
     def energy(tin, tout, fr, topo, params, ctx=None):
@@ -135,25 +169,10 @@ def make_leaflet_tilt_frozen(spec, leaflet: str):
             t0 = tilts[topo.tri_rows[:, 0]]
             t1 = tilts[topo.tri_rows[:, 1]]
             t2 = tilts[topo.tri_rows[:, 2]]
-        w = row_weights(topo, leaflet)
-        if w is not None:
-            # per-vertex active-row weights (trace-shell rows scale by the
-            # shell fraction; reference tilt_leaflet.py:71-73,152-153)
-            t0 = t0 * w[topo.tri_rows[:, 0], None]
-            t1 = t1 * w[topo.tri_rows[:, 1], None]
-            t2 = t2 * w[topo.tri_rows[:, 2], None]
         sq = (
             jnp.sum(t0 * t0, axis=1) + jnp.sum(t1 * t1, axis=1) + jnp.sum(t2 * t2, axis=1)
         )
-        if mass_mode == "consistent":
-            s = sq + (
-                jnp.sum(t0 * t1, axis=1)
-                + jnp.sum(t1 * t2, axis=1)
-                + jnp.sum(t2 * t0, axis=1)
-            )
-            coeff = (k_tilt / 12.0) * s
-        else:
-            coeff = 0.5 * k_tilt * (sq / 3.0)
+        coeff = 0.5 * k_tilt * (sq / 3.0)
         return jnp.sum(coeff * fr["area"])
 
     return precompute, energy

@@ -21,6 +21,14 @@ def energy(geo, state, topo, params):
     )
 
 
+def make_inloop_energy(spec):
+    """Relax-loop objective (reference eval-manager fast path; see
+    tilt_leaflet.make_leaflet_inloop_energy)."""
+    from membrane_solver_tpu.energy.tilt_leaflet import make_leaflet_inloop_energy
+
+    return make_leaflet_inloop_energy(spec, "out")
+
+
 def make_tilt_frozen(spec):
     """Frozen-geometry split for the inner tilt solve (positions constant)."""
     from membrane_solver_tpu.energy.tilt_leaflet import make_leaflet_tilt_frozen

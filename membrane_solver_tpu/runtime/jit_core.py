@@ -722,6 +722,84 @@ class MinimizeOptions:
     volume_drift_check: bool = False
 
 
+def _guarded_relax_body(spec, relax_fn, total, state, topo, params, n_inner):
+    """Leaflet tilt relax under the energy-spike guard (minimizer.py:1228-1288).
+
+    Shared by the minimize block's per-iteration relax and by the host-side
+    pre-scan relax on theta_B-optimize iterations (reference order per
+    iteration: tilt relax -> theta scan -> shape step, minimizer.py:1226-1298).
+    """
+    dtype = state.positions.dtype
+    t_step = params.get("tilt_step_size", jnp.asarray(0.0, dtype))
+    t_tol = params.get("tilt_tol", jnp.asarray(0.0, dtype))
+    guard_factor = params.get("tilt_relax_energy_guard_factor", jnp.asarray(0.0, dtype))
+    guard_min = params.get("tilt_relax_energy_guard_min", jnp.asarray(0.0, dtype))
+
+    def plain(state):
+        new_state, _stats = relax_fn(state, topo, params, n_inner, t_step, t_tol)
+        return new_state
+
+    def guarded(state):
+        pre_E = total(state, topo, params)
+        threshold = jnp.maximum(guard_min, jnp.abs(pre_E) * guard_factor)
+
+        # 1 + tilt_relax_energy_guard_retries (default 4) attempts with a
+        # halved tilt step on each spike; roll back fully if all spike.
+        # A while_loop keeps ONE relax instance in the program (an
+        # unrolled retry chain quintuples the largest subprogram and
+        # dominated XLA compile time at refined mesh sizes) and exits on
+        # the first accepted trial — identical result.
+        def retry_cond(carry):
+            attempt, accepted, _step, _result = carry
+            return (~accepted) & (attempt < 5)
+
+        def retry_body(carry):
+            attempt, accepted, trial_step, result = carry
+            new_st, _ = relax_fn(state, topo, params, n_inner, trial_step, t_tol)
+            post_E = total(new_st, topo, params)
+            ok = post_E <= threshold
+            result = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_st, result
+            )
+            return attempt + 1, ok, trial_step * 0.5, result
+
+        _n, accepted, _s, result = jax.lax.while_loop(
+            retry_cond,
+            retry_body,
+            (jnp.asarray(0, jnp.int32), jnp.asarray(False), t_step, state),
+        )
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accepted, a, b), result, state
+        )
+
+    if spec.option("tilt_guard", "off") != "on":
+        return plain(state)  # static: skip tracing the guarded branch
+    return jax.lax.cond(guard_factor > 0.0, guarded, plain, state)
+
+
+def make_guarded_relax(spec: ProblemSpec) -> Callable:
+    """Jitted standalone guarded leaflet relax (memoized per spec).
+
+    Used by the minimizer to run iteration i's tilt relax BEFORE the theta_B
+    scan on scan-due iterations, after which the minimize block is told to
+    skip its own first-iteration relax (reference runtime ordering:
+    minimizer.py:1226 relax -> :1298 _optimize_thetaB_scalar -> :1360 step).
+    """
+    key = (spec, "__guarded_relax__")
+    if key in _BLOCK_CACHE:
+        return _BLOCK_CACHE[key]
+    from membrane_solver_tpu.runtime import tilt_relax as _tr
+
+    relax_fn = _tr.make_relax_leaflet_tilts(spec)
+    total = make_total_energy(spec)
+
+    def run(state, topo, params, n_inner):
+        return _guarded_relax_body(spec, relax_fn, total, state, topo, params, n_inner)
+
+    _BLOCK_CACHE[key] = jax.jit(run)
+    return _BLOCK_CACHE[key]
+
+
 def _minimize_block_impl(
     spec: ProblemSpec,
     options: MinimizeOptions,
@@ -737,6 +815,7 @@ def _minimize_block_impl(
     max_zero_steps: jnp.ndarray,
     zero_step_counter: jnp.ndarray,
     tilt_inner_iters: jnp.ndarray | None = None,
+    skip_first_relax: jnp.ndarray | None = None,
 ):
     total = make_total_energy(spec)
     energy_of_positions = make_energy_of_positions(spec)
@@ -776,51 +855,9 @@ def _minimize_block_impl(
 
     def relax_with_guard(state):
         """Energy-spike guard with tilt-step halving (minimizer.py:1228-1288)."""
-        t_step = params.get("tilt_step_size", jnp.asarray(0.0, dtype))
-        t_tol = params.get("tilt_tol", jnp.asarray(0.0, dtype))
-        guard_factor = params.get("tilt_relax_energy_guard_factor", jnp.asarray(0.0, dtype))
-        guard_min = params.get("tilt_relax_energy_guard_min", jnp.asarray(0.0, dtype))
-
-        def plain(state):
-            new_state, _stats = relax_fn(state, topo, params, tilt_inner_iters, t_step, t_tol)
-            return new_state
-
-        def guarded(state):
-            pre_E = total(state, topo, params)
-            threshold = jnp.maximum(guard_min, jnp.abs(pre_E) * guard_factor)
-
-            # 1 + tilt_relax_energy_guard_retries (default 4) attempts with a
-            # halved tilt step on each spike; roll back fully if all spike.
-            # A while_loop keeps ONE relax instance in the program (an
-            # unrolled retry chain quintuples the largest subprogram and
-            # dominated XLA compile time at refined mesh sizes) and exits on
-            # the first accepted trial — identical result.
-            def retry_cond(carry):
-                attempt, accepted, _step, _result = carry
-                return (~accepted) & (attempt < 5)
-
-            def retry_body(carry):
-                attempt, accepted, trial_step, result = carry
-                new_st, _ = relax_fn(state, topo, params, tilt_inner_iters, trial_step, t_tol)
-                post_E = total(new_st, topo, params)
-                ok = post_E <= threshold
-                result = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(ok, a, b), new_st, result
-                )
-                return attempt + 1, ok, trial_step * 0.5, result
-
-            _n, accepted, _s, result = jax.lax.while_loop(
-                retry_cond,
-                retry_body,
-                (jnp.asarray(0, jnp.int32), jnp.asarray(False), t_step, state),
-            )
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accepted, a, b), result, state
-            )
-
-        if spec.option("tilt_guard", "off") != "on":
-            return plain(state)  # static: skip tracing the guarded branch
-        return jax.lax.cond(guard_factor > 0.0, guarded, plain, state)
+        return _guarded_relax_body(
+            spec, relax_fn, total, state, topo, params, tilt_inner_iters
+        )
 
     energy_vg = make_energy_vg(spec)
     # curved free-disk lanes: restrict shape descent to height DOFs and zero
@@ -872,7 +909,18 @@ def _minimize_block_impl(
         ) = carry
 
         if do_tilt_relax:
-            state = relax_with_guard(state)
+            if skip_first_relax is not None:
+                # On theta_B-scan iterations the minimizer already ran this
+                # iteration's relax (reference order: relax -> scan -> step);
+                # re-relaxing here would double-relax iteration 0.
+                state = jax.lax.cond(
+                    (i == 0) & (skip_first_relax != 0),
+                    lambda s: s,
+                    relax_with_guard,
+                    state,
+                )
+            else:
+                state = relax_with_guard(state)
         elif do_vertex_tilt_relax:
             t_step = params.get("tilt_step_size", jnp.asarray(0.0, dtype))
             t_tol = params.get("tilt_tol", jnp.asarray(0.0, dtype))

@@ -111,7 +111,10 @@ class Minimizer:
         # Host mesh mutated in place (vertex_average, set-commands, manual
         # edits) or swapped: the device state is stale — drop it WITHOUT
         # writeback (the host is the source of truth for host-side edits).
-        mesh_token = (id(self.mesh), getattr(self.mesh, "_version", 0))
+        mesh_token = (
+            getattr(self.mesh, "_uid", id(self.mesh)),
+            getattr(self.mesh, "_version", 0),
+        )
         if self._problem is not None and mesh_token != getattr(self, "_mesh_token", None):
             self._problem = None
         self._mesh_token = mesh_token
@@ -425,21 +428,6 @@ class Minimizer:
                 chunk = 1  # per-step reporting parity
 
             tilt_mode = str(self.global_params.get("tilt_solve_mode", "fixed") or "fixed")
-            # theta_B scalar coordinate descent at its cadence boundaries
-            # (reference minimizer.py:1298, runtime/tilt_optimization.py)
-            if bool(self.global_params.get("tilt_thetaB_optimize", False)):
-                from membrane_solver_tpu.runtime import tilt_optimization as _topt
-
-                _topt.optimize_thetaB_scalar(
-                    self, tilt_mode=tilt_mode, iteration=iterations_done
-                )
-                p = self.problem()
-                p.params = build_params(self.mesh)
-                every = max(
-                    int(self.global_params.get("tilt_thetaB_optimize_every", 10) or 10),
-                    1,
-                )
-                chunk = min(chunk, every - (iterations_done % every))
             if tilt_mode == "nested":
                 inner = int(self.global_params.get("tilt_inner_steps", 0) or 0)
             else:
@@ -451,6 +439,41 @@ class Minimizer:
                 )
             if str(self.global_params.get("tilt_solver", "cg") or "cg").lower() == "cg":
                 inner = int(self.global_params.get("tilt_cg_max_iters", inner) or inner)
+            # theta_B scalar coordinate descent at its cadence boundaries.
+            # Reference order WITHIN an iteration is relax -> scan -> step
+            # (minimizer.py:1226 tilt solve, :1298 _optimize_thetaB_scalar,
+            # :1360 stepper.step): the scan probes candidates from the
+            # already-relaxed tilts and the accepted candidate's tilts feed
+            # the shape step directly, with no re-relax in between.  So on
+            # scan-due iterations run this iteration's guarded relax here,
+            # then the scan, and tell the block to skip its first-iteration
+            # relax.
+            skip_first_relax = 0
+            if bool(self.global_params.get("tilt_thetaB_optimize", False)):
+                from membrane_solver_tpu.runtime import tilt_optimization as _topt
+                from membrane_solver_tpu.runtime import tilt_relax as _tr
+
+                if (
+                    _topt.thetaB_scan_due(self, iterations_done)
+                    and _tr.spec_uses_leaflet_tilts(p.spec)
+                    and tilt_mode in {"nested", "coupled"}
+                ):
+                    grelax = jit_core.make_guarded_relax(p.spec)
+                    p.params = build_params(self.mesh)
+                    p.state = grelax(
+                        p.state, p.topo, p.params, jnp.asarray(inner, jnp.int32)
+                    )
+                    skip_first_relax = 1
+                _topt.optimize_thetaB_scalar(
+                    self, tilt_mode=tilt_mode, iteration=iterations_done
+                )
+                p = self.problem()
+                p.params = build_params(self.mesh)
+                every = max(
+                    int(self.global_params.get("tilt_thetaB_optimize_every", 10) or 10),
+                    1,
+                )
+                chunk = min(chunk, every - (iterations_done % every))
 
             p.state, self._stepper_state, stats = block(
                 p.state,
@@ -465,6 +488,7 @@ class Minimizer:
                 jnp.asarray(self.max_zero_steps, jnp.int32),
                 jnp.asarray(zero_step_counter, jnp.int32),
                 jnp.asarray(inner, jnp.int32),
+                jnp.asarray(skip_first_relax, jnp.int32),
             )
             done_now = int(stats.iterations)
             step_size_used = self.step_size

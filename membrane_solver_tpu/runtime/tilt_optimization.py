@@ -61,11 +61,39 @@ def optimize_thetaB_scalar(minimizer, *, tilt_mode: str, iteration: int) -> None
     base_state = p.state
     params = build_params(minimizer.mesh)
 
+    # The reference scan temporarily sets tilt_inner_steps=scan_steps and
+    # calls the stock relax, which derives its budget as: nested ->
+    # tilt_inner_steps, coupled -> tilt_coupled_steps (fallback
+    # tilt_inner_steps); and for the CG solver tilt_cg_max_iters OVERRIDES
+    # that count entirely (reference tilt_relaxation.py:263-283).  On lanes
+    # that pin tilt_cg_max_iters (the theory-parity interface fixtures set
+    # 120) the "60-step probe" therefore actually runs 120 CG iterations.
     scan_steps = max(int(gp.get("tilt_thetaB_optimize_inner_steps", 20) or 20), 1)
+    if str(tilt_mode).strip().lower() != "nested":
+        scan_steps = int(gp.get("tilt_coupled_steps", scan_steps) or scan_steps)
+    if str(gp.get("tilt_solver", "cg") or "cg").strip().lower() == "cg":
+        scan_steps = int(gp.get("tilt_cg_max_iters", scan_steps) or scan_steps)
+    scan_steps = max(scan_steps, 1)
     t_step = params.get("tilt_step_size", jnp.asarray(0.0))
     t_tol = params.get("tilt_tol", jnp.asarray(0.0))
     guard_factor = float(gp.get("tilt_relax_energy_guard_factor", 0.0) or 0.0)
     guard_min = float(gp.get("tilt_relax_energy_guard_min", 1e-4) or 1e-4)
+
+    def breakdown_at(st, cand_params):
+        """Per-module energies for the scan record (reference records the 5
+        tilt-family terms per candidate; used by parity diagnostics)."""
+        from membrane_solver_tpu.device import geo as dgeo
+        from membrane_solver_tpu.energy import get_module
+        from membrane_solver_tpu.runtime.jit_core import active_energy_modules
+
+        geo = dgeo.triangle_geometry(st.positions, p.topo.tri_rows, p.topo.tri_valid)
+        out = {}
+        for name in active_energy_modules(p.spec):
+            module = get_module(name)
+            maker = getattr(module, "make_energy", None)
+            fn = maker(p.spec) if maker is not None else module.energy
+            out[name] = float(fn(geo, st, p.topo, cand_params))
+        return out
 
     e0 = float(energy_fn(base_state, p.topo, params))
     record = {
@@ -73,7 +101,12 @@ def optimize_thetaB_scalar(minimizer, *, tilt_mode: str, iteration: int) -> None
         "status": "evaluated",
         "base_thetaB": base_theta,
         "selected_thetaB": base_theta,
-        "candidate_energies": [{"thetaB": base_theta, "energy": e0, "discarded": False}],
+        "candidate_energies": [
+            dict(
+                {"thetaB": base_theta, "energy": e0, "discarded": False},
+                **breakdown_at(base_state, params),
+            )
+        ],
     }
 
     def eval_candidate(theta):
@@ -88,11 +121,17 @@ def optimize_thetaB_scalar(minimizer, *, tilt_mode: str, iteration: int) -> None
         e = float(energy_fn(st, p.topo, cand_params))
         if guard_factor > 0.0 and e > max(guard_min, abs(e0) * guard_factor):
             record["candidate_energies"].append(
-                {"thetaB": float(theta), "energy": e, "discarded": True}
+                dict(
+                    {"thetaB": float(theta), "energy": e, "discarded": True},
+                    **breakdown_at(st, cand_params),
+                )
             )
             return float("inf"), base_state
         record["candidate_energies"].append(
-            {"thetaB": float(theta), "energy": e, "discarded": False}
+            dict(
+                {"thetaB": float(theta), "energy": e, "discarded": False},
+                **breakdown_at(st, cand_params),
+            )
         )
         return e, st
 

@@ -65,7 +65,14 @@ def make_tilt_energy(spec: ProblemSpec) -> Callable:
             or getattr(module, "USES_TILT_LEAFLETS", False)
         ):
             continue
-        maker = getattr(module, "make_energy", None)
+        # prefer the module's in-loop objective when it differs from the
+        # clean energy: the reference's relax routes tilt_in/tilt_out through
+        # the evaluation manager's lumped magnitude fast path
+        # (evaluation_manager.py:561-575, 658-691), bypassing consistent
+        # mass and row weights that the clean scorer honors
+        maker = getattr(module, "make_inloop_energy", None) or getattr(
+            module, "make_energy", None
+        )
         fns.append(maker(spec) if maker is not None else module.energy)
 
     def tilt_energy(state: MeshState, topo: Topology, params: Dict):
@@ -277,15 +284,28 @@ def make_compact_tilt_projector(compact):
 
 def jacobi_preconditioner(positions, topo, params):
     """(M_inv_in, M_inv_out) per runtime/preconditioners.py:64-146."""
+    from membrane_solver_tpu.energy.leaflet_presence import present_triangles
+
     dtype = positions.dtype
     n_rows = positions.shape[0]
     geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
     vertex_areas = dgeo.barycentric_vertex_areas(geo, topo.tri_rows, n_rows)
+    # the relax manager feeds the preconditioner the leaflet-present areas
+    # for the OUT leaflet (tilt_relaxation.py:675-697 -> preconditioners.py
+    # tilt_vertex_areas_out), so out-rows on absent patches lose their mass
+    # term; the smoothness row sums stay unmasked on both leaflets
+    present_out = present_triangles(topo, "out")
+    if present_out is not None:
+        geo_masked_area = jnp.where(present_out, geo.area, 0.0)
+        a3 = geo_masked_area / 3.0
+        vertex_areas_out = dgeo.scatter_add_rows(a3, a3, a3, topo.tri_rows, n_rows)
+    else:
+        vertex_areas_out = vertex_areas
     curv = dgeo.curvature_data(positions, topo.tri_rows, topo.tri_valid, n_rows)
     c0, c1, c2 = curv.weights[:, 0], curv.weights[:, 1], curv.weights[:, 2]
 
-    def diag_for(k_tilt, k_smooth, fixed_mask):
-        diag = k_tilt * vertex_areas
+    def diag_for(k_tilt, k_smooth, fixed_mask, areas):
+        diag = k_tilt * areas
         rowsum = dgeo.scatter_add_rows(
             0.5 * k_smooth * (c1 + c2),
             0.5 * k_smooth * (c2 + c0),
@@ -305,8 +325,8 @@ def jacobi_preconditioner(positions, topo, params):
     kb_in = params.get("bending_modulus_in", kb)
     kb_out = params.get("bending_modulus_out", kb)
     return (
-        diag_for(k_in, kb_in, topo.tilt_fixed_in_mask),
-        diag_for(k_out, kb_out, topo.tilt_fixed_out_mask),
+        diag_for(k_in, kb_in, topo.tilt_fixed_in_mask, vertex_areas),
+        diag_for(k_out, kb_out, topo.tilt_fixed_out_mask, vertex_areas_out),
     )
 
 

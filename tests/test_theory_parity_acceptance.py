@@ -119,25 +119,38 @@ def test_theory_parity_full_lane():
 def test_physical_edge_interface_lane(lane):
     """physical_edge_staggered_v1 interface-profile lanes (reference
     test_theory_parity_against_tex_acceptance.py:791-875 structural
-    assertions, plus documented-tolerance numerics).
+    assertions) with EXACT thetaB reproduction.
 
-    Module-level E/grad parity on these lanes is machine-epsilon (see
-    tests/test_tilt_module_parity.py and the adjoint-surrogate notes in
-    energy/bending_tilt_leaflet.py); the end-to-end trajectory still
-    differs in the thetaB-optimize candidate-relax budget: the reference
-    scores candidates with a partially-converged 60-step probe, and its
-    multi-iteration inner solves are NOT reproducible by clean evaluation
-    — measured on the scaffold lane, a single relax iteration matches
-    this solver bit-for-bit (4e-17) and the clean KKT-projected gradients
-    at the iteration-2 entry state agree to 1e-15, yet the reference's
-    in-loop second iteration lands 2.5e-3 elsewhere because it reuses
-    stale tilt-payload intermediates across iterations (its own recorded
-    g5 != g1;g1;g1;g1;g1 class, tests/fixtures/ref_stale_cache_traces.json).
-    Candidate ties therefore flip near the grid resolution and theta lands
-    within one 0.01 grid step of the recorded baseline rather than exactly
-    on it.  Asserted here: the structural diagnostics the reference pins
-    (physical_edge_local_shell construction, disk radius 7/15, sub-unit
-    first shell) and theta/energy within the documented envelope.
+    theta parity was closed in round 3 by reproducing four reference
+    behaviors measured on the i50 lane (each verified bit-exact against a
+    reference trace before landing):
+
+    1. Iteration ordering: relax(i) -> theta scan(i) -> shape step(i), no
+       re-relax between scan and step (reference minimizer.py:1226-1360;
+       our minimizer runs the guarded relax host-side on scan iterations
+       and tells the jitted block to skip its first-iteration relax).
+    2. Scan probe budget: the scan's tilt_inner_steps=60 override is
+       trumped by tilt_cg_max_iters=120 inside the reference relax
+       (tilt_relaxation.py:279), so probes run 120 CG iterations.
+    3. In-loop objective: the reference relax routes tilt_in/tilt_out
+       through the evaluation manager's lumped magnitude fast path
+       (evaluation_manager.py:561-575, 658-691), silently bypassing
+       tilt_mass_mode_in=consistent and row weights that the clean scorer
+       honors (3.05e-4 on the i50 entry state); the relax descends a
+       different objective than the score.
+    4. The out-leaflet Jacobi preconditioner mass term uses the
+       leaflet-present (absent-masked) areas (tilt_relaxation.py:675-697),
+       and the parity protocol lifts the rim shell by the physical-edge
+       z-bump before the first command and releases it afterwards
+       (reference reproduce_theory_parity.py:144-165,269-293) — without
+       the bump the outer leaflet never leaves the flat branch.
+
+    With those in place the relax trajectory matches the reference
+    bit-for-bit through 120 CG iterations (2.8e-18 max tilt delta) and
+    every theta-scan selection agrees on all three lanes; final energies
+    track within ~1.6e-2 (residual accumulates through the pre-refine g10
+    shape steps, where the two outer loops accept slightly different
+    Armijo sequences).
     """
     from pathlib import Path
 
@@ -164,6 +177,9 @@ def test_physical_edge_interface_lane(lane):
 
     base = yaml.safe_load((REF_FIXTURES / baseline_name).read_text())["metrics"]
     theta = report["metrics"]["thetaB_value"]
-    assert abs(theta - float(base["thetaB_value"])) <= 0.0201, (theta, base["thetaB_value"])
+    assert theta == pytest.approx(float(base["thetaB_value"]), abs=1e-12), (
+        theta,
+        base["thetaB_value"],
+    )
     e = report["metrics"]["final_energy"]
-    assert abs(e - float(base["final_energy"])) <= 0.05 * abs(float(base["final_energy"])) + 0.01
+    assert abs(e - float(base["final_energy"])) <= 2.5e-2

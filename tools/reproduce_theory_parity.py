@@ -87,6 +87,67 @@ def tex_benchmark_terms(
     }
 
 
+DEFAULT_PHYSICAL_EDGE_Z_BUMP = 1.0e-3
+
+
+def activate_physical_edge_bump(mesh) -> bool:
+    """Lift the physical-edge rim shell to the parity z-bump.
+
+    Parity: reference reproduce_theory_parity._activate_local_outer_shell_
+    for_parity (:144-165) — on physical_edge_staggered_v1 lanes every rim
+    row with |z| < bump/2 is raised to z=bump before each protocol command
+    (branch selection off the flat z=0 solution; without it the outer
+    leaflet never develops tilts and theta scoring runs on the wrong
+    branch).  The bump value comes from gp parity_physical_edge_z_bump
+    (default 1e-3) and is released (set to 0) after the first command by
+    :func:`release_physical_edge_bump` (:269-275).
+    """
+    gp = mesh.global_parameters
+    mode = str(gp.get("rim_slope_match_mode") or "").strip().lower()
+    if mode != "physical_edge_staggered_v1":
+        return False
+    from membrane_solver_tpu.constraints.local_interface_shells import build_shell_rows
+
+    class _HostLayout:
+        pass
+
+    lay = _HostLayout()
+    lay.mesh = mesh
+    lay.vertex_ids = np.asarray(sorted(mesh.vertices), dtype=int)
+    lay.row_of = {int(v): i for i, v in enumerate(lay.vertex_ids)}
+    try:
+        shells = build_shell_rows(lay, group="disk")
+    except AssertionError:
+        shells = None
+    if shells is None:
+        return False
+    bump_raw = gp.get("parity_physical_edge_z_bump")
+    bump = DEFAULT_PHYSICAL_EDGE_Z_BUMP if bump_raw is None else float(bump_raw)
+    changed = False
+    for row in np.asarray(shells.rim_rows, dtype=int):
+        vertex = mesh.vertices[int(lay.vertex_ids[int(row)])]
+        if abs(float(vertex.position[2])) < 0.5 * bump:
+            vertex.position[2] = float(bump)
+            changed = True
+    if changed:
+        mesh.increment_version()
+    return changed
+
+
+def release_physical_edge_bump(mesh) -> bool:
+    """Drop the parity z-bump after branch selection (reference :269-275)."""
+    gp = mesh.global_parameters
+    mode = str(gp.get("rim_slope_match_mode") or "").strip().lower()
+    if mode != "physical_edge_staggered_v1":
+        return False
+    bump_raw = gp.get("parity_physical_edge_z_bump")
+    bump = DEFAULT_PHYSICAL_EDGE_Z_BUMP if bump_raw is None else float(bump_raw)
+    if abs(bump) <= 0.0:
+        return False
+    gp.set("parity_physical_edge_z_bump", 0.0)
+    return True
+
+
 def stabilize_rim_radius(mesh) -> dict:
     """Re-pin the tagged rim shell to its current median circle.
 
@@ -154,10 +215,18 @@ def run_protocol(ctx, protocol=DEFAULT_PROTOCOL) -> None:
     from membrane_solver_tpu.commands.executor import execute_command_line
 
     stabilize_rim_radius(ctx.mesh)
-    for cmd in protocol:
+    activate_physical_edge_bump(ctx.mesh)
+    bump_released = False
+    for cmd_index, cmd in enumerate(protocol):
         execute_command_line(ctx, cmd)
         ctx.sync_mesh()
+        if cmd_index == 0 and not bump_released:
+            # reference _run_protocol_with_parity_activation:289-293 —
+            # branch selected during the first command; later activations
+            # must not re-lift the rim
+            bump_released = release_physical_edge_bump(ctx.mesh)
         stabilize_rim_radius(ctx.mesh)
+        activate_physical_edge_bump(ctx.mesh)
 
 
 def outer_shell_geometry(ctx) -> dict:
