@@ -276,14 +276,25 @@ def make_dense_solver(A: jnp.ndarray):
     substitution inside device loops costs ~30us per row on TPU, which
     dominates everything else at these sizes.
     """
-    if jax.default_backend() == "cpu" or A.dtype == jnp.float32:
-        # CPU: LAPACK getrf/getrs.  TPU f32: XLA's blocked LU — the
-        # sequential Gauss-Jordan below costs ~20us per row on TPU (k=2048
-        # factors in ~45 ms; the blocked LU is ~10x faster).
+    if jax.default_backend() == "cpu":
+        # CPU: LAPACK getrf/getrs.
         import jax.scipy.linalg as jsl
 
         lu, piv = jsl.lu_factor(A)
         return lambda b: jsl.lu_solve((lu, piv), b)
+    if A.dtype == jnp.float32:
+        # TPU f32: factor with XLA's blocked LU (the sequential Gauss-
+        # Jordan below costs ~20us per row on TPU), then turn the factors
+        # into an explicit inverse by solving against I ONCE — the
+        # per-apply lu_solve would otherwise run two sequential
+        # triangular substitutions per call (~0.2 ms at k=96), which
+        # measured as the single largest term of the inner tilt-CG
+        # iteration on small meshes.
+        import jax.scipy.linalg as jsl
+
+        lu, piv = jsl.lu_factor(A)
+        Ainv = jsl.lu_solve((lu, piv), jnp.eye(A.shape[0], dtype=A.dtype))
+        return lambda b: jnp.matmul(Ainv, b, precision=jax.lax.Precision.HIGHEST)
     Ainv = gj_inverse(A)
     return lambda b: Ainv @ b
 

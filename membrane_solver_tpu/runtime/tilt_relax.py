@@ -234,7 +234,10 @@ def make_compact_tilt_collector(spec: ProblemSpec):
     return collect
 
 
-def make_compact_tilt_projector(compact):
+_SLOT_ONEHOT_MAX = 8_000_000  # (k*s) x (2*Nv) entries (~32 MB f32)
+
+
+def make_compact_tilt_projector(compact, n_rows=None):
     """KKT projector over (in, out) tilt DOFs from compact slot rows.
 
     compact: (values (k, s, 3), rows (k, s), leaflet (k, s) 0=in/1=out,
@@ -252,6 +255,7 @@ def make_compact_tilt_projector(compact):
     vals, rows, leaf, *rest = compact
     bgs = rest[0] if rest else ()
     k = vals.shape[0]
+    s = vals.shape[1]
     eq = (
         (rows[:, None, :, None] == rows[None, :, None, :])
         & (leaf[:, None, :, None] == leaf[None, :, None, :])
@@ -268,13 +272,49 @@ def make_compact_tilt_projector(compact):
     A = A + 1e-18 * jnp.eye(k, dtype=vals.dtype)
     solver = dlinalg.make_dense_solver(A)
 
+    # TPU: the (k*s)-index slot gather and scatter-add lower to serialized
+    # per-index loops (duplicate indices), which measured as ~0.3 ms per
+    # CG iteration at k=96 — the single largest inner-loop term on small
+    # meshes.  Build the slot incidence one-hot ONCE per relax call
+    # (outside the CG while_loop, via ``n_rows``) and replace both with
+    # MXU matmuls — exact 0/1 selections; only the duplicate-slot
+    # summation order changes.  CPU keeps the native scatter (bit parity
+    # with the reference path), as does any problem too large for the
+    # one-hot (the serialized cost amortizes there anyway).
+    import os
+
+    force = os.environ.get("MEMBRANE_SLOT_ONEHOT")  # tests: "1" forces on CPU
+    S = None
+    if (
+        n_rows is not None
+        and force != "0"
+        and (jax.default_backend() != "cpu" or force == "1")
+        and k * s * 2 * n_rows <= _SLOT_ONEHOT_MAX
+    ):
+        flat = (leaf * n_rows + rows).reshape(-1)  # (k*s,)
+        iota = jnp.arange(2 * n_rows, dtype=flat.dtype)
+        S = (flat[:, None] == iota[None, :]).astype(vals.dtype)
+
     def project(gin, gout):
         g2 = jnp.stack([gin, gout])  # (2, Nv, 3)
-        b = jnp.einsum("iac,iac->i", vals, g2[leaf, rows])
+        nv = gin.shape[0]
+        if S is not None:
+            sel = jnp.matmul(
+                S, g2.reshape(2 * nv, 3), precision=jax.lax.Precision.HIGHEST
+            ).reshape(k, s, 3)
+            b = jnp.einsum("iac,iac->i", vals, sel)
+        else:
+            b = jnp.einsum("iac,iac->i", vals, g2[leaf, rows])
         for c, f in bgs:
             b = b + c * jnp.sum(f * g2)
         lam = solver(b)
-        corr = jnp.zeros_like(g2).at[leaf, rows].add(lam[:, None, None] * vals)
+        if S is not None:
+            contrib = (lam[:, None, None] * vals).reshape(k * s, 3)
+            corr = jnp.matmul(
+                S.T, contrib, precision=jax.lax.Precision.HIGHEST
+            ).reshape(2, nv, 3)
+        else:
+            corr = jnp.zeros_like(g2).at[leaf, rows].add(lam[:, None, None] * vals)
         for c, f in bgs:
             corr = corr + jnp.dot(lam, c) * f
         return gin - corr[0], gout - corr[1]
@@ -663,7 +703,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         # flat-disk tools set it, but the projection always applies).
         if compact_collector is not None:
             projector = make_compact_tilt_projector(
-                compact_collector(state, topo, params)
+                compact_collector(state, topo, params), n_rows=n_rows
             )
         else:
             rows = constraint_rows_fn(state, topo, params)
