@@ -138,7 +138,10 @@ for _ in range(2):
 best = best_full if best_full < float("inf") else best_any
 print("BENCH_RESULT", best * 1e3)
 """
-    env = dict(os.environ, MEMBRANE_SOLVER_X64=x64)
+    # pin the backend so a "tpu" number is always a TPU number: the
+    # latency-aware auto-placement (utils/placement.py) would otherwise
+    # route the small lane to XLA:CPU
+    env = dict(os.environ, MEMBRANE_SOLVER_X64=x64, MEMBRANE_SOLVER_BACKEND="default")
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,
         timeout=int(lane.get("timeout", 1800)),

@@ -122,6 +122,19 @@ class Minimizer:
             if self._problem is not None:
                 # keep device-evolved state: sync host first
                 writeback(self._problem, self.mesh)
+            # latency-aware placement: route small problems to the
+            # co-resident XLA:CPU backend (utils/placement.py) BEFORE the
+            # state arrays are created, so they and every downstream
+            # scalar/params construction land there — otherwise each
+            # build_params scalar is created on the accelerator and
+            # shipped back per chunk, which costs more than the compute
+            # on a tunneled TPU.  Re-evaluated on every recompile, so a
+            # refined problem that outgrows the threshold returns to the
+            # accelerator.
+            from membrane_solver_tpu.device.state import capacity_for
+            from membrane_solver_tpu.utils.placement import apply_placement
+
+            apply_placement(capacity_for(len(self.mesh.vertices)))
             self._problem = compile_state(self.mesh)
             # module lists can be overridden relative to the mesh
             import dataclasses as _dc
