@@ -97,6 +97,20 @@ LANES["kozlov_L3"] = {
     "timeout": 3000,
 }
 
+# L4 scaling lane (26,209 vertices): the reference NumPy stack measured
+# 165 s/step on this host (recorded round 1, "L4 scaling measurement"
+# commit); opt-in via BENCH_LANE=kozlov_L4 — not part of the default
+# headline run (compile + 10 steps keep it within the lane timeout).
+LANES["kozlov_L4"] = {
+    **LANES["kozlov"],
+    "metric": "kozlov3d_L4_per_step_ms",
+    "reference_ms": 165000.0,
+    "refines": 4,
+    "steps": 10,
+    "warmup": 1,
+    "timeout": 5400,
+}
+
 
 def measure(lane: dict, platform: str | None, x64: str = "1") -> float:
     """Run one lane in a subprocess (clean backend + dtype); return ms/step."""

@@ -56,7 +56,25 @@ def run(pallas_on: bool):
 
 e_pallas = run(True)
 e_xla = run(False)
-print("TPU_RESULT " + json.dumps({"pallas": e_pallas, "xla": e_xla}))
+
+# latency-aware auto-placement (utils/placement.py): on this accelerator
+# host a small problem must compile+run on the co-resident XLA:CPU
+# backend and reproduce the pinned-TPU trajectory in the same dtype
+os.environ["MEMBRANE_SOLVER_FROZEN_TILT"] = "1"
+os.environ["MEMBRANE_SOLVER_BACKEND"] = "auto"
+mesh = parse_geometry(build("kozlov_1disk"))
+mesh.global_parameters.update(gp)
+mn = Minimizer(mesh, quiet=True)
+mn.step_size = 0.005
+p = mn.problem()
+placed = list(p.state.positions.devices())[0].platform
+mn.minimize(3)
+e_auto = float(mn.compute_energy())
+os.environ["MEMBRANE_SOLVER_BACKEND"] = "default"
+
+print("TPU_RESULT " + json.dumps(
+    {"pallas": e_pallas, "xla": e_xla, "auto_platform": placed, "auto_e3": e_auto}
+))
 """
 
 
@@ -111,3 +129,9 @@ def test_tpu_frozen_tilt_and_minimize_smoke():
     e_cpu = np.asarray(e_cpu)
     rel = np.abs(e_pallas - e_cpu) / np.maximum(np.abs(e_cpu), 1e-9)
     assert rel.max() < 5e-3, f"f32-TPU vs f64-CPU trajectory drift {rel.max():.2e}"
+
+    # auto-placement: the small lane must have landed on XLA:CPU and its
+    # f32 trajectory must track the pinned-TPU one at the f32 level
+    assert res["auto_platform"] == "cpu", res["auto_platform"]
+    rel3 = abs(res["auto_e3"] - e_pallas[2]) / max(abs(e_pallas[2]), 1e-9)
+    assert rel3 < 5e-3, f"auto-placement trajectory drift {rel3:.2e}"
