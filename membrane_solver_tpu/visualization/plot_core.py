@@ -136,6 +136,7 @@ def plot_geometry(
     tilt_streamlines_cos_min: float = 0.2,
     show_patch_boundaries: bool = False,
     patch_key: str = "disk_patch",
+    show_facets: bool = True,  # --no-facets (reference cli.py:34-37)
     show_edges: bool = True,
     show_vertices: bool = False,
     show_indices: bool = False,
@@ -198,7 +199,7 @@ def plot_geometry(
             face_values.append(0.0)
 
     mappable = None
-    if polys:
+    if polys and show_facets:
         collection = Poly3DCollection(polys, alpha=alpha)
         if color_by:
             vals = np.asarray(face_values)
@@ -213,6 +214,18 @@ def plot_geometry(
             collection.set_edgecolor("k")
             collection.set_linewidth(0.3)
         ax.add_collection3d(collection)
+
+    if not show_facets and show_edges and len(mesh.edges):
+        segs = [
+            np.array(
+                [
+                    mesh.vertices[mesh.edges[eid].tail_index].position,
+                    mesh.vertices[mesh.edges[eid].head_index].position,
+                ]
+            )
+            for eid in sorted(mesh.edges)
+        ]
+        ax.add_collection3d(Line3DCollection(segs, colors="k", linewidths=0.3))
 
     if (show_colorbar if show_colorbar is not None else bool(color_by)) and mappable is not None:
         cbar = fig.colorbar(mappable, ax=ax, shrink=0.6, pad=0.05)
