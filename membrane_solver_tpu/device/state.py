@@ -346,6 +346,23 @@ def compile_state(
         extras["core:tilt_axisym/axis"] = jnp.asarray(
             axis / n if n > 1e-15 else np.array([0.0, 0.0, 1.0])
         )
+    # core hook: inner-coupled continuation cap center (reference
+    # tilt_relaxation.py:48-114 _apply_inner_coupled_update_mode_to_delta
+    # via bt_params._assume_J0_center_xy)
+    _icm = str(mesh.global_parameters.get("inner_coupled_update_mode") or "off").strip().lower()
+    if _icm not in {"off", "rim_matched_radial_continuation_v1"}:
+        raise ValueError(
+            "inner_coupled_update_mode must be 'off' or "
+            "'rim_matched_radial_continuation_v1'."
+        )
+    if _icm != "off":
+        raw_c = mesh.global_parameters.get("tilt_thetaB_center")
+        if raw_c is None:
+            raw_c = mesh.global_parameters.get("pin_to_circle_point")
+        c = np.asarray(raw_c if raw_c is not None else [0.0, 0.0], dtype=float).reshape(-1)
+        extras["core:inner_coupled/center_xy"] = jnp.asarray(
+            c[:2] if c.size >= 2 else np.zeros(2)
+        )
     # core hook: curved free-disk shape-DOF restriction masks (reference
     # runtime/projections/curved_disk.py:14-54) — shared_rim_staggered_v1
     # restricts shape descent to heights and removes the artificial
@@ -419,6 +436,12 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "tilt_mass_mode_out",
     "rim_slope_match_kkt_rows",
     "line_search_reduced_energy",
+    "line_search_reduced_accept_rule",
+    "tilt_projection_cadence",
+    "inner_coupled_update_mode",
+    "curved_theta_objective_ablation_mode",
+    "benchmark_geometry_lane",
+    "benchmark_parameterization",
     "bending_tilt_base_term_reference_mode",
     "bending_tilt_base_term_reference_mode_in",
     "bending_tilt_base_term_reference_mode_out",
@@ -483,6 +506,13 @@ _SCALAR_PARAM_KEYS: Tuple[str, ...] = (
     "rim_slope_match_strength",
     "tilt_relax_energy_guard_factor",
     "tilt_relax_energy_guard_min",
+    "tilt_relax_energy_guard_retries",
+    "tilt_projection_interval",
+    "benchmark_disk_radius",
+    "benchmark_lambda_value",
+    "curved_theta_objective_ablation_inner_scale",
+    "curved_theta_objective_ablation_outer_scale",
+    "curved_theta_objective_ablation_contact_scale",
     "tilt_splay_modulus_in",
     "tilt_twist_modulus",
     "tilt_twist_modulus_in",

@@ -39,6 +39,19 @@ def make_tilt_frozen(spec):
     )
 
 
+def _combined_zero_mask(topo, leaflet):
+    """assume-J0 preset rows plus benchmark base-term region rows."""
+    import jax.numpy as jnp
+
+    j0 = topo.extras.get(f"energy:bending_tilt_{leaflet}/assume_J0")
+    region = topo.extras.get(f"energy:bending_tilt_{leaflet}/region_zero")
+    if region is None:
+        return j0
+    if j0 is None:
+        return region
+    return j0 | region
+
+
 def make_energy(spec):
     """Static-mode-aware energy (theory-parity base/divergence overrides)."""
     from membrane_solver_tpu.energy.bending_tilt_leaflet import static_modes
@@ -56,7 +69,7 @@ def make_energy(spec):
             c0_key="spontaneous_curvature_in",
             tri_present=present_triangles(topo, "in"),
             zero_base=zero_base,
-            j0_mask=topo.extras.get("energy:bending_tilt_in/assume_J0"),
+            j0_mask=_combined_zero_mask(topo, "in"),
             recovered_div=recovered,
         )
 
@@ -64,6 +77,13 @@ def make_energy(spec):
 
 
 def compile_topology(layout):
-    from membrane_solver_tpu.energy.bending_tilt_leaflet import compile_assume_J0
+    from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+        compile_assume_J0,
+        compile_base_term_region_zero,
+    )
 
-    return compile_assume_J0(layout, "in")
+    out = dict(compile_assume_J0(layout, "in"))
+    region = compile_base_term_region_zero(layout, "in")
+    if region is not None:
+        out["region_zero"] = region
+    return out

@@ -292,7 +292,11 @@ def make_leaflet_bending_tilt_frozen(
         base_f, va_eff_f, _a_eff_f, _kappa, _interior, _xf = _fields(
             positions, topo, params, kappa_key, c0_key, tri_present
         )
-        base_f = _apply_base_overrides(base_f, zero_base, topo.extras.get(j0_key))
+        j0 = topo.extras.get(j0_key)
+        region = topo.extras.get(f"energy:bending_tilt_{leaflet}/region_zero")
+        if region is not None:
+            j0 = region if j0 is None else (j0 | region)
+        base_f = _apply_base_overrides(base_f, zero_base, j0)
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         g = dgeo.p1_shape_gradients(geo)
         keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
@@ -344,3 +348,55 @@ def make_leaflet_bending_tilt_frozen(
         )
 
     return precompute, energy
+
+
+def compile_base_term_region_zero(layout, leaflet: str):
+    """Benchmark-scoped base-term region zero mask, or None.
+
+    Parity: reference bt_selection._base_term_region_zero_rows
+    (bt_selection.py:230-287) — ``physical_disk_split_v1`` zeroes the OUT
+    leaflet's Helfrich base inside the disk (xy-radius <= region radius
+    about the J0 center); ``disk_only_base_term_v1`` zeroes the IN
+    leaflet's base outside it.  Rows resolve from topology-compile-time
+    positions, matching the reference's vertex-version-keyed cache.
+    """
+    import numpy as np
+
+    gp = layout.mesh.global_parameters
+    mode = str(gp.get("bending_tilt_base_term_region_mode") or "off").strip().lower()
+    if mode == "off":
+        return None
+    if mode not in {"physical_disk_split_v1", "disk_only_base_term_v1"}:
+        raise ValueError(
+            "bending_tilt_base_term_region_mode must be 'off' or "
+            "'physical_disk_split_v1' or 'disk_only_base_term_v1'."
+        )
+    if mode == "physical_disk_split_v1" and leaflet != "out":
+        return None
+    if mode == "disk_only_base_term_v1" and leaflet != "in":
+        return None
+    radius_raw = gp.get("bending_tilt_base_term_region_radius")
+    if radius_raw is None:
+        raise ValueError(
+            "bending_tilt_base_term_region_radius is required when "
+            "bending_tilt_base_term_region_mode is enabled."
+        )
+    radius = float(radius_raw)
+    center_raw = gp.get("tilt_thetaB_center")
+    if center_raw is None:
+        center_raw = gp.get("pin_to_circle_point")
+    center = np.zeros(2)
+    if center_raw is not None:
+        arr = np.asarray(center_raw, dtype=float).reshape(-1)
+        if arr.size >= 2:
+            center = arr[:2]
+    mesh = layout.mesh
+    mask = np.zeros(len(layout.vertex_ids), dtype=bool)
+    for row, vid in enumerate(layout.vertex_ids):
+        pos = np.asarray(mesh.vertices[int(vid)].position, dtype=float)
+        r = float(np.linalg.norm(pos[:2] - center))
+        if mode == "physical_disk_split_v1":
+            mask[row] = r <= radius + 1.0e-12
+        else:
+            mask[row] = r > radius + 1.0e-12
+    return layout.pad_rows(mask, layout.nv_cap, False)

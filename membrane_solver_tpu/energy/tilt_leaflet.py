@@ -55,6 +55,109 @@ def compile_trace_layer_row_weights(layout):
     return layout.pad_rows(w, layout.nv_cap, 1.0)
 
 
+def compile_shared_rim_row_weights(layout, leaflet: str):
+    """Shared-rim diagnostic row weights, or None.
+
+    Parity: reference modules/energy/tilt_utils.py:77-151
+    (_shared_rim_active_row_weights) with the key-alias resolution of
+    tilt_params.py:26-46 — rows tagged ``rim_slope_match_group == rim``
+    drop to weight 0 under ``tilt_in_exclude_shared_rim_rows``; outer-
+    tagged rows (or, untagged, the first local-interface outer shell)
+    drop to 0 under ``tilt_{leaflet}_exclude_shared_rim_outer_rows`` or
+    scale by sqrt(tilt_in_shared_rim_outer_row_energy_weight).
+    """
+    import numpy as np
+
+    gp = layout.mesh.global_parameters
+
+    def flag(*keys) -> bool:
+        for k in keys:
+            raw = gp.get(k)
+            if raw is not None:
+                if isinstance(raw, str):
+                    return raw.strip().lower() in {"1", "true", "yes", "on"}
+                return bool(raw)
+        return False
+
+    keys = [
+        f"tilt_{leaflet}_exclude_shared_rim_outer_rows",
+        f"tilt_exclude_shared_rim_outer_rows_{leaflet}",
+    ]
+    if leaflet == "out":
+        keys += ["tilt_out_exclude_shared_rim_rows", "tilt_exclude_shared_rim_rows_out"]
+    exclude_outer = flag(*keys)
+    exclude_rim = False
+    outer_row_energy_weight = None
+    if leaflet == "in":
+        exclude_rim = flag(
+            "tilt_in_exclude_shared_rim_rows", "tilt_exclude_shared_rim_rows_in"
+        )
+        raw = gp.get("tilt_in_shared_rim_outer_row_energy_weight")
+        if raw is not None:
+            w = float(raw)
+            if not np.isfinite(w) or w < 0.0:
+                raise ValueError(
+                    "tilt_in_shared_rim_outer_row_energy_weight must be a "
+                    "finite non-negative number"
+                )
+            outer_row_energy_weight = w
+    if not (exclude_rim or exclude_outer or outer_row_energy_weight is not None):
+        return None
+
+    mesh = layout.mesh
+    n = len(layout.vertex_ids)
+    # outer shell rows: explicitly tagged 'outer' rows; else the first
+    # local-interface outer shell (tilt_utils.py:55-70)
+    tagged = []
+    groups = []
+    for row, vid in enumerate(layout.vertex_ids):
+        opts = mesh.vertices[int(vid)].options or {}
+        group = str(opts.get("rim_slope_match_group") or "")
+        groups.append(group)
+        if group == "outer":
+            tagged.append(row)
+    outer_mask = np.zeros(n, dtype=bool)
+    if tagged:
+        outer_mask[np.asarray(tagged, dtype=int)] = True
+    else:
+        from membrane_solver_tpu.constraints.local_interface_shells import (
+            build_shell_rows,
+        )
+
+        try:
+            shells = build_shell_rows(layout, group="disk")
+        except AssertionError:
+            shells = None
+        if shells is not None:
+            outer_mask[np.asarray(shells.outer_rows, dtype=int)] = True
+
+    outer_scale = (
+        None if outer_row_energy_weight is None else float(np.sqrt(outer_row_energy_weight))
+    )
+    weights = np.ones(n, dtype=float)
+    for row in range(n):
+        if exclude_rim and groups[row] == "rim":
+            weights[row] = 0.0
+            continue
+        if groups[row] == "outer" or outer_mask[row]:
+            if exclude_outer:
+                weights[row] = 0.0
+            elif outer_scale is not None:
+                weights[row] = outer_scale
+    return layout.pad_rows(weights, layout.nv_cap, 1.0)
+
+
+def compile_active_row_weights(layout, leaflet: str):
+    """shared * trace combined weights (tilt_utils.py:227-235), or None."""
+    shared = compile_shared_rim_row_weights(layout, leaflet)
+    trace = compile_trace_layer_row_weights(layout)
+    if shared is None:
+        return trace
+    if trace is None:
+        return shared
+    return shared * trace
+
+
 def row_weights(topo, leaflet: str):
     return topo.extras.get(f"energy:tilt_{leaflet}/row_weights")
 

@@ -38,8 +38,8 @@ def make_tilt_frozen(spec):
 
 def compile_topology(layout) -> dict:
     from membrane_solver_tpu.energy.tilt_leaflet import (
-        compile_trace_layer_row_weights,
+        compile_active_row_weights,
     )
 
-    w = compile_trace_layer_row_weights(layout)
+    w = compile_active_row_weights(layout, "out")
     return {} if w is None else {"row_weights": w}

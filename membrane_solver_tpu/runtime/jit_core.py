@@ -56,19 +56,67 @@ def active_energy_modules(spec: ProblemSpec) -> Tuple[str, ...]:
     return tuple(names)
 
 
+def module_scale_fn(spec: ProblemSpec, name: str):
+    """Per-module experimental scale for the curved-theta ablation, or None.
+
+    Parity: reference minimizer._experimental_energy_scale_for_module
+    (minimizer.py:501-566) — active only when
+    curved_theta_objective_ablation_mode=inner_outer_rescaled AND
+    benchmark_geometry_lane=free_z AND benchmark_parameterization=
+    kh_physical; inner/outer/contact module families scale by the three
+    ablation factors (traced params, validated > 0 by the reference).
+    """
+    mode = spec.option("curved_theta_objective_ablation_mode", "off").lower()
+    if mode == "off":
+        return None
+    if mode != "inner_outer_rescaled":
+        raise ValueError(
+            "curved_theta_objective_ablation_mode must be 'off' or "
+            "'inner_outer_rescaled'."
+        )
+    if spec.option("benchmark_geometry_lane", "flat_pinned").lower() != "free_z":
+        return None
+    if spec.option("benchmark_parameterization", "legacy").lower() != "kh_physical":
+        return None
+    if name in {"tilt_in", "bending_tilt_in", "tilt_splay_twist_in", "tilt_smoothness_in"}:
+        key = "curved_theta_objective_ablation_inner_scale"
+    elif name in {
+        "tilt_out",
+        "bending_tilt_out",
+        "tilt_smoothness_out",
+        "tilt_rim_source_out",
+        "tilt_disk_target_out",
+    }:
+        key = "curved_theta_objective_ablation_outer_scale"
+    elif name == "tilt_thetaB_contact_in":
+        key = "curved_theta_objective_ablation_contact_scale"
+    else:
+        return None
+
+    def scale(params, dtype):
+        return params.get(key, jnp.asarray(1.0, dtype))
+
+    return scale
+
+
 def make_total_energy(spec: ProblemSpec) -> Callable:
     """Return total_energy(state, topo, params) -> scalar."""
     fns = []
     for name in active_energy_modules(spec):
         module = get_module(name)
         maker = getattr(module, "make_energy", None)
-        fns.append(maker(spec) if maker is not None else module.energy)
+        fns.append((maker(spec) if maker is not None else module.energy,
+                    module_scale_fn(spec, name)))
 
     def total_energy(state: MeshState, topo: Topology, params: Dict) -> jnp.ndarray:
         geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
-        e = jnp.asarray(0.0, dtype=state.positions.dtype)
-        for fn in fns:
-            e = e + fn(geo, state, topo, params)
+        dtype = state.positions.dtype
+        e = jnp.asarray(0.0, dtype=dtype)
+        for fn, sc in fns:
+            term = fn(geo, state, topo, params)
+            if sc is not None:
+                term = sc(params, dtype) * term
+            e = e + term
         return e
 
     # jit so the (large) energy graph is traced once per abstract signature
@@ -428,6 +476,7 @@ def armijo_line_search(
     movable: jnp.ndarray,  # (Nv,) bool
     topo: Topology,
     state_of_trial: Callable,  # trial positions -> full trial MeshState
+    accept_rule: str = "armijo",  # "decrease_only" valid in reduced-LS mode
 ) -> LineSearchResult:
     """Functional Armijo backtracking (reference line_search.py:261-529).
 
@@ -458,7 +507,16 @@ def armijo_line_search(
         return jnp.where(movable[:, None], positions + alpha * direction, positions)
 
     # Non-descent direction: skip the search entirely (line_search.py:319-322).
-    descent = g_dot_d < 0.0
+    # Under the reduced-LS "decrease_only" accept rule the reference bypasses
+    # both the descent skip and the Armijo slope term (line_search.py:110,
+    # 170-173): acceptance is E_t <= E0.
+    decrease_only = accept_rule == "decrease_only"  # static
+    if decrease_only:
+        descent = jnp.asarray(True)
+        slope = jnp.asarray(0.0, dtype)
+    else:
+        descent = g_dot_d < 0.0
+        slope = g_dot_d
 
     from membrane_solver_tpu.utils.tuning import batched_line_search
 
@@ -484,7 +542,7 @@ def armijo_line_search(
             )
             E_t = energy_of_state(state_of_trial(trial))
             E_t = jnp.where(normals_ok, E_t, jnp.asarray(jnp.inf, dtype))
-            accept = normals_ok & (E_t <= energy0 + LS_C * alpha * g_dot_d)
+            accept = normals_ok & (E_t <= energy0 + LS_C * alpha * slope)
             return accept, E_t
 
         accept0, E0_t = eval_candidate(alpha0)
@@ -526,7 +584,7 @@ def armijo_line_search(
 
             def eval_and_decide(_):
                 E_t = energy_of_state(state_of_trial(trial))
-                accept = E_t <= energy0 + LS_C * alpha * g_dot_d
+                accept = E_t <= energy0 + LS_C * alpha * slope
                 return accept, E_t
 
             accept, E_t = jax.lax.cond(
@@ -743,15 +801,21 @@ def _guarded_relax_body(spec, relax_fn, total, state, topo, params, n_inner):
         pre_E = total(state, topo, params)
         threshold = jnp.maximum(guard_min, jnp.abs(pre_E) * guard_factor)
 
-        # 1 + tilt_relax_energy_guard_retries (default 4) attempts with a
-        # halved tilt step on each spike; roll back fully if all spike.
-        # A while_loop keeps ONE relax instance in the program (an
-        # unrolled retry chain quintuples the largest subprogram and
-        # dominated XLA compile time at refined mesh sizes) and exits on
-        # the first accepted trial — identical result.
+        # 1 + tilt_relax_energy_guard_retries (default 4; reference
+        # minimizer.py:1241) attempts with a halved tilt step on each
+        # spike; roll back fully if all spike.  A while_loop keeps ONE
+        # relax instance in the program (an unrolled retry chain
+        # quintuples the largest subprogram and dominated XLA compile
+        # time at refined mesh sizes) and exits on the first accepted
+        # trial — identical result.
+        max_attempts = 1 + jnp.asarray(
+            params.get("tilt_relax_energy_guard_retries", jnp.asarray(4.0, dtype)),
+            jnp.int32,
+        )
+
         def retry_cond(carry):
             attempt, accepted, _step, _result = carry
-            return (~accepted) & (attempt < 5)
+            return (~accepted) & (attempt < max_attempts)
 
         def retry_body(carry):
             attempt, accepted, trial_step, result = carry
@@ -852,6 +916,10 @@ def _minimize_block_impl(
     reduced_ls = do_tilt_relax and spec.option(
         "line_search_reduced_energy", ""
     ).lower() in {"1", "true", "yes", "on"}
+    if reduced_ls:
+        _rule = spec.option("line_search_reduced_accept_rule", "armijo").lower()
+        if _rule not in ("armijo", "decrease_only"):
+            raise ValueError(f"Unknown reduced-energy accept rule: {_rule!r}")
 
     def relax_with_guard(state):
         """Energy-spike guard with tilt-step halving (minimizer.py:1228-1288)."""
@@ -976,6 +1044,14 @@ def _minimize_block_impl(
                     )
                 return st
 
+            # reduced-LS accept-rule override (reference minimizer.py:1348-1354
+            # -> line_search.py:110,170-173): only honored when the reduced
+            # line search is active
+            ls_accept_rule = (
+                spec.option("line_search_reduced_accept_rule", "armijo").lower()
+                if reduced_ls
+                else "armijo"
+            )
             ls = armijo_line_search(
                 lambda st: total(st, topo, params),
                 state,
@@ -986,6 +1062,7 @@ def _minimize_block_impl(
                 movable,
                 topo,
                 state_of_trial,
+                accept_rule=ls_accept_rule,
             )
             # rejected-shape-step scaffold fallback (reference
             # minimizer.py:298-428): on rejection, retry the line search

@@ -295,7 +295,12 @@ class Minimizer:
             module = get_module(name)
             maker = getattr(module, "make_energy", None)
             fn = maker(p.spec) if maker is not None else module.energy
-            out[name] = float(fn(geo, p.state, p.topo, p.params))
+            term = float(fn(geo, p.state, p.topo, p.params))
+            sc = jit_core.module_scale_fn(p.spec, name)
+            if sc is not None:
+                dt = p.state.positions.dtype
+                term *= float(sc(p.params, dt))
+            out[name] = term
         return out
 
     # ------------------------------------------------------------------
@@ -352,6 +357,7 @@ class Minimizer:
     ) -> dict:
         from membrane_solver_tpu.runtime.validation import (
             validate_disk_interface_topology,
+            validate_gaussian_curvature_topology,
             validate_leaflet_absence_topology,
         )
 
@@ -362,12 +368,14 @@ class Minimizer:
         gp_tok = tuple(
             (k, repr(self.global_params.get(k)))
             for k in sorted(self.global_params.to_dict())
-            if "leaflet" in k or "disk" in k or "interface" in k
+            if "leaflet" in k or "disk" in k or "interface" in k or "gaussian" in k
         )
         tok = (self.mesh, getattr(self.mesh, "_topology_version", 0), gp_tok)
         if getattr(self, "_validated_topology_token", None) != tok:
             validate_leaflet_absence_topology(self.mesh, self.global_params)
             validate_disk_interface_topology(self.mesh, self.global_params)
+            if "gaussian_curvature" in self.energy_module_names:
+                validate_gaussian_curvature_topology(self.mesh, self.global_params)
             self._validated_topology_token = tok
         from membrane_solver_tpu.runtime.diagnostics.audit import check_gauss_bonnet
 

@@ -73,17 +73,77 @@ def make_tilt_energy(spec: ProblemSpec) -> Callable:
         maker = getattr(module, "make_inloop_energy", None) or getattr(
             module, "make_energy", None
         )
-        fns.append(maker(spec) if maker is not None else module.energy)
+        from membrane_solver_tpu.runtime.jit_core import module_scale_fn
+
+        fns.append(
+            (maker(spec) if maker is not None else module.energy,
+             module_scale_fn(spec, name))
+        )
 
     def tilt_energy(state: MeshState, topo: Topology, params: Dict):
         geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
-        e = jnp.asarray(0.0, state.positions.dtype)
-        for fn in fns:
-            e = e + fn(geo, state, topo, params)
+        dtype = state.positions.dtype
+        e = jnp.asarray(0.0, dtype)
+        for fn, sc in fns:
+            term = fn(geo, state, topo, params)
+            if sc is not None:
+                term = sc(params, dtype) * term
+            e = e + term
         return e
 
     # jit: trace the tilt-energy graph once per abstract signature
     return jax.jit(tilt_energy)
+
+
+def make_inner_coupled_delta_cap(positions, topo, params, fixed_in):
+    """Benchmark-only continuation cap on inner trial deltas.
+
+    Parity: reference tilt_relaxation.py:48-114
+    (_apply_inner_coupled_update_mode_to_delta): rows in the near band
+    (radius+lam, radius+4*lam] clip their radial delta components to
+    1.05x the median |radial delta| over the rim band |r-radius| <= lam;
+    inactive when radius/lambda are unset, either band is empty, or the
+    cap is non-positive.  The masks are position-only (positions are
+    frozen for the whole relax call).
+    """
+    dtype = positions.dtype
+    cc = topo.extras["core:inner_coupled/center_xy"].astype(dtype)
+    radius_b = params.get("benchmark_disk_radius", jnp.asarray(0.0, dtype))
+    lam_b = params.get("benchmark_lambda_value", jnp.asarray(0.0, dtype))
+    shifted = positions.at[:, 0].add(-cc[0]).at[:, 1].add(-cc[1])
+    radii = jnp.linalg.norm(shifted[:, :2], axis=1)
+    rgood = radii > 1e-12
+    rh = jnp.zeros_like(positions)
+    rh = rh.at[:, 0].set(jnp.where(rgood, shifted[:, 0] / jnp.maximum(radii, 1e-12), 0.0))
+    rh = rh.at[:, 1].set(jnp.where(rgood, shifted[:, 1] / jnp.maximum(radii, 1e-12), 0.0))
+    free_in = topo.vertex_valid & ~fixed_in
+    rim_m = (jnp.abs(radii - radius_b) <= lam_b) & free_in
+    target_m = (
+        (radii > radius_b + lam_b) & (radii <= radius_b + 4.0 * lam_b) & free_in
+    )
+    active = (radius_b > 0.0) & (lam_b > 0.0) & jnp.any(rim_m) & jnp.any(target_m)
+
+    def _masked_median_abs(vals, mask):
+        # np.median over the masked subset: sort with +inf padding, average
+        # the two middle elements of the n live entries
+        v = jnp.where(mask, jnp.abs(vals), jnp.inf)
+        v = jnp.sort(v)
+        n = jnp.sum(mask.astype(jnp.int32))
+        lo = jnp.maximum((n - 1) // 2, 0)
+        hi = jnp.maximum(n // 2, 0)
+        med = 0.5 * (v[lo] + v[hi])
+        return jnp.where(n > 0, med, 0.0)
+
+    def apply_delta_cap(delta_in):
+        rad = jnp.sum(delta_in * rh, axis=1)
+        cap = 1.05 * _masked_median_abs(rad, rim_m)
+        capped = jnp.clip(rad, -cap, cap)
+        adjust = jnp.where(target_m, capped - rad, 0.0)
+        adjust = jnp.where(jnp.abs(adjust) > 1.0e-14, adjust, 0.0)
+        out = delta_in + adjust[:, None] * rh
+        return jnp.where(active & (cap > 0.0), out, delta_in)
+
+    return apply_delta_cap
 
 
 def make_tilt_constraint_rows(spec: ProblemSpec) -> Callable:
@@ -402,6 +462,13 @@ def collect_frozen_tilt_program(spec: ProblemSpec):
         if hook is None:
             return None
         pre, fn = hook(spec)
+        from membrane_solver_tpu.runtime.jit_core import module_scale_fn
+
+        sc = module_scale_fn(spec, name)
+        if sc is not None:
+            def fn(tin, tout, fr, topo, params, ctx=None, _fn=fn, _sc=sc):
+                return _sc(params, tin.dtype) * _fn(tin, tout, fr, topo, params, ctx)
+
         e_pre.append(pre)
         e_fns.append(fn)
         e_names.append(name)
@@ -442,6 +509,12 @@ def _build_fused_tilt_energy(spec, e_names, e_fns, e_frozen, state, topo, params
     if not pallas_enabled(dtype):
         return None
     if not set(_FUSED_NAMES) <= set(e_names):
+        return None
+    # curved-theta ablation rescales modules with traced factors the fused
+    # kernel's k_vec does not carry; fall back to the per-module path
+    from membrane_solver_tpu.runtime.jit_core import module_scale_fn
+
+    if any(module_scale_fn(spec, n) is not None for n in e_names):
         return None
     for leaflet in ("in", "out"):
         mode = spec.option(
@@ -568,6 +641,11 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
         and spec.option("tilt_cg_preconditioner", "jacobi").lower()
         not in {"none", "off", "false"}
     )
+    # per-accepted-step vs end-of-pass constraint-refresh cadence
+    # (reference tilt_relaxation.py:494-505, 1049-1051, 1412-1413)
+    projection_cadence = spec.option("tilt_projection_cadence", "per_step").lower()
+    if projection_cadence not in {"per_step", "per_pass"}:
+        raise ValueError("tilt_projection_cadence must be 'per_step' or 'per_pass'.")
 
     def energy_of(tin, tout, state, topo, params):
         st = dataclasses.replace(state, tilts_in=tin, tilts_out=tout)
@@ -723,7 +801,20 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             m_in = jnp.ones(n_rows, dtype)
             m_out = jnp.ones(n_rows, dtype)
 
+        apply_delta_cap = None
+        if (
+            spec.option("inner_coupled_update_mode", "off")
+            == "rim_matched_radial_continuation_v1"
+            and "core:inner_coupled/center_xy" in topo.extras
+        ):
+            apply_delta_cap = make_inner_coupled_delta_cap(
+                positions, topo, params, fixed_in
+            )
+
+
         def build_trial(base_in, base_out, delta_in, delta_out):
+            if apply_delta_cap is not None:
+                delta_in = apply_delta_cap(delta_in)
             trial_in = tangent_in(base_in + delta_in)
             trial_out = tangent_out(base_out + delta_out)
             trial_in = jnp.where(fixed_in[:, None], fixed_vals_in, trial_in)
@@ -810,6 +901,20 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 )
                 return accepted, acc_in, acc_out, acc_E
 
+        # cadence: enforce+re-project after an accepted step only when
+        # (post-increment accepted count % interval) == 0 and cadence is
+        # per_step; per_pass defers to a single refresh after the loop.
+        # Trials are already tangent-projected and fixed-clamped by
+        # build_trial, so a skipped refresh carries the raw accepted tilts
+        # forward, exactly as the reference does.
+        proj_interval = jnp.maximum(
+            jnp.asarray(params.get("tilt_projection_interval", 1.0), jnp.int32), 1
+        )
+
+        def refresh_pair(t_in, t_out):
+            e_in, e_out = enforce_pair(t_in, t_out)
+            return tangent_in(e_in), tangent_out(e_out)
+
         if solver == "gd":
 
             def body(carry):
@@ -818,13 +923,18 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
                 accepted, new_in, new_out, E1 = backtrack(tin, tout, -gin, -gout, E0)
                 take = accepted & ~conv
-                enf_in, enf_out = enforce_pair(new_in, new_out)
+                nacc_new = nacc + take.astype(jnp.int32)
+                if projection_cadence == "per_step":
+                    do_proj = take & ((nacc_new % proj_interval) == 0)
+                else:
+                    do_proj = jnp.asarray(False)
+                prj_in, prj_out = refresh_pair(new_in, new_out)
                 return (
-                    jnp.where(take, tangent_in(enf_in), tin),
-                    jnp.where(take, tangent_out(enf_out), tout),
+                    jnp.where(do_proj, prj_in, jnp.where(take, new_in, tin)),
+                    jnp.where(do_proj, prj_out, jnp.where(take, new_out, tout)),
                     i + 1,
                     done | conv | ~accepted,
-                    nacc + take.astype(jnp.int32),
+                    nacc_new,
                     rejected | (~accepted & ~conv),
                     jnp.where(conv, E0, E1),
                     gnorm,
@@ -879,10 +989,16 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                         accepted, keep, gd_retry, None
                     )
                 take = accepted & ~conv
+                nacc_new = nacc + take.astype(jnp.int32)
                 # per-accepted-step constraint refresh + tangent projection
-                enf_in, enf_out = enforce_pair(new_in, new_out)
-                new_in2 = jnp.where(take, tangent_in(enf_in), tin)
-                new_out2 = jnp.where(take, tangent_out(enf_out), tout)
+                # (subject to the projection cadence)
+                if projection_cadence == "per_step":
+                    do_proj = take & ((nacc_new % proj_interval) == 0)
+                else:
+                    do_proj = jnp.asarray(False)
+                prj_in, prj_out = refresh_pair(new_in, new_out)
+                new_in2 = jnp.where(do_proj, prj_in, jnp.where(take, new_in, tin))
+                new_out2 = jnp.where(do_proj, prj_out, jnp.where(take, new_out, tout))
                 E2, gin2, gout2, gnorm2 = eval_grads(new_in2, new_out2, state)
                 r_in, r_out = -gin2, -gout2
                 z_in = r_in * m_in[:, None]
@@ -904,7 +1020,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                     jnp.where(take, gnorm2, gnorm),
                     i + 1,
                     done | stop,
-                    nacc + take.astype(jnp.int32),
+                    nacc_new,
                     rejected | (~accepted & ~conv),
                 )
 
@@ -930,6 +1046,11 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             (tin, tout, _di, _do, _gi, _go, _rz, E_last, g_last, _i, _done, nacc, rejected) = (
                 jax.lax.while_loop(cond, body, init)
             )
+
+        if projection_cadence == "per_pass":
+            # one refresh for the whole pass (reference :1412-1413),
+            # applied unconditionally like the reference's
+            tin, tout = refresh_pair(tin, tout)
 
         out_state = dataclasses.replace(state, tilts_in=tin, tilts_out=tout)
         stats = TiltRelaxStats(
