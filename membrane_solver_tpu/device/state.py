@@ -440,6 +440,11 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "tilt_projection_cadence",
     "inner_coupled_update_mode",
     "curved_theta_objective_ablation_mode",
+    "bending_tilt_in_update_mode",
+    "bending_tilt_interface_divergence_mode",
+    "bending_tilt_interface_divergence_mode_out",
+    "bending_tilt_out_interface_divergence_mode",
+    "bending_tilt_in_scaffold_shape_stencil_mode",
     "benchmark_geometry_lane",
     "benchmark_parameterization",
     "bending_tilt_base_term_reference_mode",

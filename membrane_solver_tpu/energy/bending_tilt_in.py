@@ -56,7 +56,14 @@ def make_energy(spec):
     """Static-mode-aware energy (theory-parity base/divergence overrides)."""
     from membrane_solver_tpu.energy.bending_tilt_leaflet import static_modes
 
+    from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+        stencil_mode_static,
+        update_mode_static,
+    )
+
     zero_base, recovered = static_modes(spec, "in")
+    upd_mode = update_mode_static(spec, "in")
+    stencil_on = stencil_mode_static(spec) == "trace_boundary_v1"
 
     def fn(geo, state, topo, params):
         return leaflet_bending_tilt_energy(
@@ -71,6 +78,12 @@ def make_energy(spec):
             zero_base=zero_base,
             j0_mask=_combined_zero_mask(topo, "in"),
             recovered_div=recovered,
+            update_mode=upd_mode,
+            stencil_trace=(
+                topo.extras.get("energy:bending_tilt_in/stencil_trace")
+                if stencil_on
+                else None
+            ),
         )
 
     return fn
@@ -86,4 +99,30 @@ def compile_topology(layout):
     region = compile_base_term_region_zero(layout, "in")
     if region is not None:
         out["region_zero"] = region
+    # benchmark update-mode cap center (bt_params._assume_J0_center_xy)
+    import numpy as np
+
+    gp = layout.mesh.global_parameters
+    mode = str(gp.get("bending_tilt_in_update_mode") or "off").strip().lower()
+    if mode == "outer_near_divergence_cap_v1":
+        raw = gp.get("tilt_thetaB_center")
+        if raw is None:
+            raw = gp.get("pin_to_circle_point")
+        c = np.asarray(raw if raw is not None else [0.0, 0.0], dtype=float).reshape(-1)
+        out["update_center"] = c[:2] if c.size >= 2 else np.zeros(2)
+    if (
+        str(gp.get("bending_tilt_in_scaffold_shape_stencil_mode") or "off")
+        .strip()
+        .lower()
+        == "trace_boundary_v1"
+    ):
+        from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+            compile_scaffold_row_masks,
+        )
+
+        tr, su, rl = compile_scaffold_row_masks(layout)
+        # enabled only with trace rows AND scaffold rows present
+        # (reference :213-215); compile the mask only when it will act
+        if tr.any() and (su.any() or rl.any()):
+            out["stencil_trace"] = tr
     return out

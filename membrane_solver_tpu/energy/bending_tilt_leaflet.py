@@ -127,11 +127,51 @@ def _apply_base_overrides(base_term, zero_base, j0_mask):
     return base_term
 
 
+def _tri_cap_masks(positions, topo, params, center):
+    """Rim/outer-near triangle bands about the J0 center (bt_selection.py:70-77)."""
+    dtype = positions.dtype
+    radius = params.get("benchmark_disk_radius", jnp.asarray(0.0, dtype))
+    lam = params.get("benchmark_lambda_value", jnp.asarray(0.0, dtype))
+    tri_xy = jnp.mean(positions[topo.tri_rows][:, :, :2], axis=1) - center[None, :]
+    tri_r = jnp.linalg.norm(tri_xy, axis=1)
+    rim_m = (jnp.abs(tri_r - radius) <= lam) & topo.tri_valid
+    near_m = (tri_r > radius + lam) & (tri_r <= radius + 4.0 * lam) & topo.tri_valid
+    active = (radius > 0.0) & (lam > 0.0)
+    return rim_m & active, near_m & active
+
+
+def _apply_divergence_cap(div_term, rim_m, near_m):
+    """outer_near_divergence_cap_v1 (bt_selection.py:78-95): outer-near
+    triangles clip |div| to 1.05x the median rim |div|; straight-through
+    (the reference applies dE/ddiv at the capped value with the cap
+    treated as data)."""
+    sg = jax.lax.stop_gradient
+    v = jnp.where(rim_m, jnp.abs(div_term), jnp.inf)
+    v = jnp.sort(v)
+    n = jnp.sum(rim_m.astype(jnp.int32))
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    med = jnp.where(n > 0, 0.5 * (v[lo] + v[hi]), 0.0)
+    cap = sg(1.05 * med)
+    hit = near_m & (jnp.abs(div_term) > cap)
+    capped = jnp.where(hit, jnp.sign(div_term) * cap, div_term)
+    out = div_term + sg(capped - div_term)
+    return jnp.where((cap > 0.0) & jnp.any(near_m) & (n > 0), out, div_term)
+
+
 def leaflet_bending_tilt_energy(
     state, topo, params, *, tilts, kappa_key: str, div_sign: float, c0_key: str,
     tri_present=None, zero_base=False, j0_mask=None, recovered_div=False,
+    update_mode="off", idiv_masks=None, stencil_trace=None,
 ):
     positions = state.positions
+    if stencil_trace is not None:
+        # trace_boundary_v1 (reference bending_tilt_leaflet.py:190-225):
+        # this module contributes NO z shape-gradient on the scaffold
+        # trace rows — stop the z gradient there (value unchanged)
+        z = positions[:, 2]
+        z_eff = jnp.where(stencil_trace, jax.lax.stop_gradient(z), z)
+        positions = positions.at[:, 2].set(z_eff)
     frozen_x = jax.lax.stop_gradient(positions)
     n_rows = positions.shape[0]
 
@@ -142,12 +182,32 @@ def leaflet_bending_tilt_energy(
     base_f = _apply_base_overrides(base_f, zero_base, j0_mask)
     div_tri, _, _ = p1_triangle_divergence(frozen_x, tilts, topo.tri_rows, topo.tri_valid)
     div_term = div_sign * div_tri
+    if idiv_masks is not None:
+        div_term = _reconstruct_trace_divergence(div_term, topo, *idiv_masks)
+    if update_mode == "outer_near_divergence_cap_v1":
+        center = topo.extras["energy:bending_tilt_in/update_center"].astype(
+            positions.dtype
+        )
+        rim_m, near_m = _tri_cap_masks(frozen_x, topo, params, center)
+        div_term = _apply_divergence_cap(div_term, rim_m, near_m)
     if recovered_div:
         div_term = recovered_divergence(div_term, frozen_x, topo)
-    term_c = base_f[topo.tri_rows] + div_term[:, None]
+    base_c = base_f[topo.tri_rows]
     keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)
+    if update_mode == "radial_cross_term_off_v1":
+        # same VALUE as (base+div)^2, but the tilt gradient drops the
+        # base cross term: dE/ddiv = kappa*div*va (bt_divergence.py:42-49)
+        sg = jax.lax.stop_gradient
+        sqs = (
+            base_c**2
+            + (div_term**2)[:, None]
+            + 2.0 * base_c * sg(div_term)[:, None]
+        )
+    else:
+        term_c = base_c + div_term[:, None]
+        sqs = term_c**2
     corner = 0.5 * jnp.sum(
-        jnp.where(keep, kappa * jnp.sum(term_c**2 * va_eff_f, axis=1), 0.0)
+        jnp.where(keep, kappa * jnp.sum(sqs * va_eff_f, axis=1), 0.0)
     )
 
     # --- vertex-form surrogate: shape gradient with frozen divergence ------
@@ -219,6 +279,108 @@ def static_modes(spec, leaflet: str):
     return zero_base, recovered
 
 
+def interface_divergence_mode_static(spec, leaflet: str) -> str:
+    """Scaffold-interface divergence reconstruction mode (bt_params.py:107-127)."""
+    raw = spec.option(f"bending_tilt_interface_divergence_mode_{leaflet}", "")
+    if not raw and leaflet == "out":
+        raw = spec.option("bending_tilt_out_interface_divergence_mode", "")
+    if not raw:
+        raw = spec.option("bending_tilt_interface_divergence_mode", "p1_triangle")
+    mode = raw.strip().lower()
+    if mode not in {"p1_triangle", "trace_reconstructed_v1"}:
+        raise ValueError(
+            "bending_tilt_out_interface_divergence_mode must be "
+            "'p1_triangle' or 'trace_reconstructed_v1'."
+        )
+    return mode
+
+
+def stencil_mode_static(spec) -> str:
+    """Opt-in scaffold trace treatment for inner shape gradients
+    (bt_params.py:129-141)."""
+    mode = spec.option("bending_tilt_in_scaffold_shape_stencil_mode", "off").strip().lower()
+    if mode not in {"off", "trace_boundary_v1"}:
+        raise ValueError(
+            "bending_tilt_in_scaffold_shape_stencil_mode must be "
+            "'off' or 'trace_boundary_v1'."
+        )
+    return mode
+
+
+def compile_scaffold_row_masks(layout):
+    """(trace, support, release) row masks for scaffold-trace modes.
+
+    Parity: reference bending_tilt_leaflet._row_option_mask selections
+    (:88-99, 170-179) — pin_to_circle_group == 'trace_layer',
+    outer_shell_scaffold_index set, outer_shell_release_ring truthy.
+    """
+    import numpy as np
+
+    mesh = layout.mesh
+    n = len(layout.vertex_ids)
+    trace = np.zeros(n, dtype=bool)
+    support = np.zeros(n, dtype=bool)
+    release = np.zeros(n, dtype=bool)
+    for vid, vertex in mesh.vertices.items():
+        row = layout.row_of.get(int(vid))
+        if row is None:
+            continue
+        opts = getattr(vertex, "options", None) or {}
+        if str(opts.get("pin_to_circle_group") or "") == "trace_layer":
+            trace[row] = True
+        if opts.get("outer_shell_scaffold_index") is not None:
+            support[row] = True
+        if bool(opts.get("outer_shell_release_ring", False)):
+            release[row] = True
+    return (
+        layout.pad_rows(trace, layout.nv_cap, False),
+        layout.pad_rows(support, layout.nv_cap, False),
+        layout.pad_rows(release, layout.nv_cap, False),
+    )
+
+
+def _reconstruct_trace_divergence(div_term, topo, tr, su, rl):
+    """trace_reconstructed_v1 (reference bending_tilt_leaflet.py:75-135):
+    triangles touching trace rows take the mean divergence of the
+    non-scaffold source triangles (fallback: support-touching,
+    non-trace)."""
+    rows = topo.tri_rows
+    trace_touch = jnp.any(tr[rows], axis=1) & topo.tri_valid
+    support_touch = jnp.any(su[rows], axis=1) & topo.tri_valid
+    release_touch = jnp.any(rl[rows], axis=1) & topo.tri_valid
+    scaffold_touch = trace_touch | support_touch | release_touch
+    src1 = (~scaffold_touch) & topo.tri_valid
+    src2 = support_touch & ~trace_touch
+    use1 = jnp.any(src1)
+    source = jnp.where(use1, src1, src2)
+    n_src = jnp.sum(source.astype(div_term.dtype))
+    mean = jnp.sum(jnp.where(source, div_term, 0.0)) / jnp.maximum(n_src, 1.0)
+    enabled = (
+        jnp.any(tr)
+        & (jnp.any(su) | jnp.any(rl))
+        & jnp.any(trace_touch)
+        & (n_src > 0)
+    )
+    rec = jnp.where(enabled & trace_touch, mean, div_term)
+    # straight-through: the reference's pullback applies dE/ddiv at the
+    # reconstructed value to each triangle's own corners, without
+    # propagating through the source mean (bending_tilt_leaflet.py:390)
+    return div_term + jax.lax.stop_gradient(rec - div_term)
+
+
+def update_mode_static(spec, leaflet: str) -> str:
+    """Benchmark-scoped inner update mode (bt_params.py:156-174); in-only."""
+    if leaflet != "in":
+        return "off"
+    mode = spec.option("bending_tilt_in_update_mode", "off").strip().lower()
+    if mode not in {"off", "outer_near_divergence_cap_v1", "radial_cross_term_off_v1"}:
+        raise ValueError(
+            "bending_tilt_in_update_mode must be 'off' or "
+            "'outer_near_divergence_cap_v1' or 'radial_cross_term_off_v1'."
+        )
+    return mode
+
+
 def compile_assume_J0(layout, leaflet: str):
     """Compile hook: padded bool mask of assume-J0 preset vertex rows.
 
@@ -282,6 +444,11 @@ def make_leaflet_bending_tilt_frozen(
     """
 
     zero_base, recovered = static_modes(spec, leaflet)
+    upd_mode = update_mode_static(spec, leaflet)
+    idiv_on = (
+        leaflet == "out"
+        and interface_divergence_mode_static(spec, "out") == "trace_reconstructed_v1"
+    )
     j0_key = f"energy:bending_tilt_{leaflet}/assume_J0"
 
     def precompute(state, topo, params):
@@ -306,6 +473,13 @@ def make_leaflet_bending_tilt_frozen(
             "g": g,
             "keep": keep,
         }
+        if upd_mode == "outer_near_divergence_cap_v1":
+            center = topo.extras["energy:bending_tilt_in/update_center"].astype(
+                positions.dtype
+            )
+            rim_m, near_m = _tri_cap_masks(positions, topo, params, center)
+            out["cap_rim"] = rim_m
+            out["cap_near"] = near_m
         if recovered:
             # barycentric-recovery smoothing weights (positions constant)
             w = jnp.where(topo.tri_valid, geo.area / 3.0, 0.0)
@@ -336,15 +510,34 @@ def make_leaflet_bending_tilt_frozen(
         )
         div = jnp.where(topo.tri_valid, div, 0.0)
         div = div_sign * div
+        if idiv_on:
+            div = _reconstruct_trace_divergence(
+                div,
+                topo,
+                topo.extras["energy:bending_tilt_out/scaffold_trace"],
+                topo.extras["energy:bending_tilt_out/scaffold_support"],
+                topo.extras["energy:bending_tilt_out/scaffold_release"],
+            )
+        if upd_mode == "outer_near_divergence_cap_v1":
+            div = _apply_divergence_cap(div, fr["cap_rim"], fr["cap_near"])
         if recovered:
             wd = fr["smooth_w"] * div
             n_rows = fr["smooth_inv_varea"].shape[0]
             v_num = dgeo.scatter_add_rows(wd, wd, wd, topo.tri_rows, n_rows)
             v_div = v_num * fr["smooth_inv_varea"]
             div = jnp.mean(v_div[topo.tri_rows], axis=1)
-        term_c = fr["base_c"] + div[:, None]
+        if upd_mode == "radial_cross_term_off_v1":
+            sg = jax.lax.stop_gradient
+            sqs = (
+                fr["base_c"] ** 2
+                + (div**2)[:, None]
+                + 2.0 * fr["base_c"] * sg(div)[:, None]
+            )
+        else:
+            term_c = fr["base_c"] + div[:, None]
+            sqs = term_c**2
         return 0.5 * jnp.sum(
-            jnp.where(fr["keep"], kappa * jnp.sum(term_c**2 * fr["va_eff"], axis=1), 0.0)
+            jnp.where(fr["keep"], kappa * jnp.sum(sqs * fr["va_eff"], axis=1), 0.0)
         )
 
     return precompute, energy

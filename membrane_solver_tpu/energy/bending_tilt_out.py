@@ -56,9 +56,21 @@ def make_energy(spec):
     """Static-mode-aware energy (theory-parity base/divergence overrides)."""
     from membrane_solver_tpu.energy.bending_tilt_leaflet import static_modes
 
+    from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+        interface_divergence_mode_static,
+    )
+
     zero_base, recovered = static_modes(spec, "out")
+    idiv_on = interface_divergence_mode_static(spec, "out") == "trace_reconstructed_v1"
 
     def fn(geo, state, topo, params):
+        idiv_masks = None
+        if idiv_on:
+            idiv_masks = (
+                topo.extras["energy:bending_tilt_out/scaffold_trace"],
+                topo.extras["energy:bending_tilt_out/scaffold_support"],
+                topo.extras["energy:bending_tilt_out/scaffold_release"],
+            )
         return leaflet_bending_tilt_energy(
             state,
             topo,
@@ -71,6 +83,7 @@ def make_energy(spec):
             zero_base=zero_base,
             j0_mask=_combined_zero_mask(topo, "out"),
             recovered_div=recovered,
+            idiv_masks=idiv_masks,
         )
 
     return fn
@@ -86,4 +99,19 @@ def compile_topology(layout):
     region = compile_base_term_region_zero(layout, "out")
     if region is not None:
         out["region_zero"] = region
+    gp = layout.mesh.global_parameters
+    raw = (
+        gp.get("bending_tilt_interface_divergence_mode_out")
+        or gp.get("bending_tilt_out_interface_divergence_mode")
+        or gp.get("bending_tilt_interface_divergence_mode")
+    )
+    if str(raw or "p1_triangle").strip().lower() == "trace_reconstructed_v1":
+        from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+            compile_scaffold_row_masks,
+        )
+
+        tr, su, rl = compile_scaffold_row_masks(layout)
+        out["scaffold_trace"] = tr
+        out["scaffold_support"] = su
+        out["scaffold_release"] = rl
     return out

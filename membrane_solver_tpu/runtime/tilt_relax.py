@@ -516,6 +516,17 @@ def _build_fused_tilt_energy(spec, e_names, e_fns, e_frozen, state, topo, params
 
     if any(module_scale_fn(spec, n) is not None for n in e_names):
         return None
+    # the fused kernel cannot express the benchmark in-update modes or the
+    # scaffold-trace divergence reconstruction
+    from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+        interface_divergence_mode_static,
+        update_mode_static,
+    )
+
+    if update_mode_static(spec, "in") != "off":
+        return None
+    if interface_divergence_mode_static(spec, "out") != "p1_triangle":
+        return None
     for leaflet in ("in", "out"):
         mode = spec.option(
             f"tilt_mass_mode_{leaflet}", spec.option("tilt_mass_mode", "lumped")

@@ -470,3 +470,168 @@ def test_base_term_region_modes():
     assert disk_only["bending_tilt_out"] == pytest.approx(
         base_same_state["bending_tilt_out"], rel=1e-12, abs=0.0
     )
+
+
+def test_bending_tilt_in_update_modes():
+    """bending_tilt_in_update_mode (reference bt_params.py:156-174,
+    bt_divergence.py:11-55, bt_selection.py:40-95): radial_cross_term_off_v1
+    keeps the energy VALUE but drops the base term from the tilt gradient;
+    outer_near_divergence_cap_v1 clips outer-near triangle divergences to
+    1.05x the median rim |div|; bogus modes raise."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from membrane_solver_tpu.device.state import build_params
+    from membrane_solver_tpu.energy import bending_tilt_in as bt_in
+
+    with pytest.raises(ValueError, match="update_mode"):
+        _kozlov_minimizer(
+            bending_tilt_in_update_mode="bogus"
+        ).compute_energy_breakdown()
+
+    src = _kozlov_minimizer(spontaneous_curvature_in=1.0)
+    src.minimize(1)  # one evolved state shared by every evaluation below
+
+    def eval_in(mode, **gp):
+        mn = _kozlov_minimizer(
+            spontaneous_curvature_in=1.0, bending_tilt_in_update_mode=mode, **gp
+        )
+        import numpy as _np
+
+        for vid, v in src.mesh.vertices.items():
+            tv = mn.mesh.vertices[vid]
+            tv.position[:] = _np.asarray(v.position)
+            tv.tilt_in[:] = _np.asarray(v.tilt_in)
+            tv.tilt_out[:] = _np.asarray(v.tilt_out)
+        mn.mesh.increment_version()
+        mn.invalidate()
+        p = mn.problem()
+        params = build_params(mn.mesh)
+        fn = bt_in.make_energy(p.spec)
+        from membrane_solver_tpu.device import geo as dgeo
+
+        geo = dgeo.triangle_geometry(p.state.positions, p.topo.tri_rows, p.topo.tri_valid)
+
+        def e_of_tilts(tin):
+            st = dataclasses.replace(p.state, tilts_in=tin)
+            return fn(geo, st, p.topo, params)
+
+        E, g = jax.value_and_grad(e_of_tilts)(p.state.tilts_in)
+        return float(E), np.asarray(g)
+
+    e_off, g_off = eval_in("off")
+    e_x, g_x = eval_in("radial_cross_term_off_v1")
+    # value identical, tilt gradient differs (base cross term removed)
+    assert e_x == pytest.approx(e_off, rel=1e-12)
+    assert not np.allclose(g_x, g_off, atol=1e-12)
+
+    e_cap, g_cap = eval_in(
+        "outer_near_divergence_cap_v1",
+        benchmark_disk_radius=7.0 / 15.0,
+        benchmark_lambda_value=0.05,
+    )
+    assert np.isfinite(e_cap) and np.all(np.isfinite(g_cap))
+    # zero radius/lambda deactivates the cap exactly
+    e_cap0, g_cap0 = eval_in(
+        "outer_near_divergence_cap_v1",
+        benchmark_disk_radius=0.0,
+        benchmark_lambda_value=0.0,
+    )
+    assert e_cap0 == pytest.approx(e_off, rel=1e-12)
+    np.testing.assert_allclose(g_cap0, g_off, atol=1e-14)
+
+
+def test_scaffold_trace_divergence_and_stencil_modes():
+    """trace_reconstructed_v1 replaces trace-touching triangles' divergence
+    with the non-scaffold source mean (reference bending_tilt_leaflet.py:
+    75-135, straight-through in the pullback); trace_boundary_v1 removes
+    the bt_in module's z shape-gradient on trace rows (:190-225).  Both run
+    on the scaffold-trace fixture lane; bogus modes raise."""
+    import dataclasses
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from membrane_solver_tpu import load_data
+    from membrane_solver_tpu.device import geo as dgeo
+    from membrane_solver_tpu.device.state import build_params
+    from membrane_solver_tpu.energy import bending_tilt_in as bt_in
+    from membrane_solver_tpu.energy import bending_tilt_out as bt_out
+
+    mesh_path = Path(
+        "/root/reference/tests/fixtures/"
+        "kozlov_1disk_3d_free_disk_theory_parity_physical_edge_scaffold_gapfill_eps005_n3_release.yaml"
+    )
+    if not mesh_path.exists():
+        pytest.skip("scaffold lane fixture absent")
+
+    def minimizer(**gp):
+        mesh = parse_geometry(load_data(str(mesh_path)))
+        mesh.global_parameters.update(gp)
+        return Minimizer(mesh, quiet=True)
+
+    def problem(**gp):
+        mn = minimizer(**gp)
+        return mn.problem(), build_params(mn.mesh)
+
+    with pytest.raises(ValueError, match="interface_divergence_mode"):
+        minimizer(
+            bending_tilt_out_interface_divergence_mode="bogus"
+        ).compute_energy_breakdown()
+    with pytest.raises(ValueError, match="stencil_mode"):
+        minimizer(
+            bending_tilt_in_scaffold_shape_stencil_mode="bogus"
+        ).compute_energy_breakdown()
+
+    rng = np.random.default_rng(5)
+
+    # --- divergence reconstruction changes the out-leaflet energy --------
+    p0, params0 = problem()
+    tout = jnp.asarray(
+        rng.normal(0, 0.05, np.asarray(p0.state.tilts_out).shape),
+        p0.state.positions.dtype,
+    )
+    st0 = dataclasses.replace(p0.state, tilts_out=tout)
+    geo0 = dgeo.triangle_geometry(st0.positions, p0.topo.tri_rows, p0.topo.tri_valid)
+    e_plain = float(bt_out.make_energy(p0.spec)(geo0, st0, p0.topo, params0))
+
+    p1, params1 = problem(
+        bending_tilt_out_interface_divergence_mode="trace_reconstructed_v1"
+    )
+    assert "energy:bending_tilt_out/scaffold_trace" in p1.topo.extras
+    st1 = dataclasses.replace(p1.state, tilts_out=tout)
+    geo1 = dgeo.triangle_geometry(st1.positions, p1.topo.tri_rows, p1.topo.tri_valid)
+    e_rec = float(bt_out.make_energy(p1.spec)(geo1, st1, p1.topo, params1))
+    assert np.isfinite(e_rec)
+    assert e_rec != pytest.approx(e_plain, rel=1e-12, abs=0.0)
+
+    # --- stencil mode zeroes the module's z shape-gradient on trace rows -
+    p2, params2 = problem(
+        bending_tilt_in_scaffold_shape_stencil_mode="trace_boundary_v1"
+    )
+    tr = p2.topo.extras.get("energy:bending_tilt_in/stencil_trace")
+    assert tr is not None and bool(np.asarray(tr).any())
+    tin = jnp.asarray(
+        rng.normal(0, 0.05, np.asarray(p2.state.tilts_in).shape),
+        p2.state.positions.dtype,
+    )
+
+    def e_of_pos(positions, p, params):
+        st = dataclasses.replace(p.state, positions=positions, tilts_in=tin)
+        geo = dgeo.triangle_geometry(positions, p.topo.tri_rows, p.topo.tri_valid)
+        return bt_in.make_energy(p.spec)(geo, st, p.topo, params)
+
+    g_off = np.asarray(jax.grad(e_of_pos)(p0.state.positions, p0, params0))
+    g_on = np.asarray(jax.grad(e_of_pos)(p2.state.positions, p2, params2))
+    trace_rows = np.flatnonzero(np.asarray(tr))
+    assert np.abs(g_on[trace_rows, 2]).max() == 0.0
+    assert np.abs(g_off[trace_rows, 2]).max() > 0.0  # non-vacuous
+    # xy gradients on trace rows and all gradients elsewhere are unchanged
+    np.testing.assert_allclose(
+        g_on[trace_rows, :2], g_off[trace_rows, :2], atol=1e-12
+    )
+    others = np.setdiff1d(np.arange(g_on.shape[0]), trace_rows)
+    np.testing.assert_allclose(g_on[others], g_off[others], atol=1e-12)
