@@ -301,6 +301,9 @@ def parse_geometry(data: dict) -> Mesh:
     def parse_edge_ref(e) -> int:
         # "rN" = reversed edge N; in list form edge positions are 0-based on
         # disk, 1-based in the mesh, and negatives shift accordingly (-11 -> -12).
+        # Explicit-ID quirk kept for parity: "r0" with explicit edge ids yields
+        # -0 == 0, losing the reversal — identical to the reference
+        # (io_readers.py:559-563); explicit ids are 1-based by convention.
         if isinstance(e, str) and e.startswith("r"):
             k = int(e[1:])
             return -k if edges_explicit else -(k + 1)
