@@ -54,23 +54,35 @@ if _cache not in {"0", "false", "no"}:
     if _cache not in {"1", "true", "yes"}:
         _cache_dir = _cache
     else:
-        # partition by host CPU features: executables cached on a machine
+        # partition by host CPU identity: executables cached on a machine
         # with a different feature set (the VM fleet mixes avx512 variants)
         # are not merely slow to load — deserializing them can SIGSEGV
-        # inside get_executable_and_time.  A per-feature-set directory means
-        # mismatched entries are never even seen.
+        # inside get_executable_and_time.  The fingerprint must include the
+        # MODEL, not just the cpuinfo flags: two hosts with identical flag
+        # sets produce different LLVM tuning features (+prefer-no-gather/
+        # +prefer-no-scatter are scheduling-model-derived), and XLA:CPU
+        # AOT entries built under one tuning set SIGSEGV'd under the other
+        # with the flags-only hash (observed 2026-08-17 after a VM
+        # migration).  A per-identity directory means mismatched entries
+        # are never even seen.
         try:
             import hashlib as _hl
 
+            _ident = []
             with open("/proc/cpuinfo") as _fh:
                 for _line in _fh:
-                    if _line.startswith("flags"):
-                        _feat = _hl.sha256(
-                            " ".join(sorted(_line.split(":", 1)[1].split())).encode()
-                        ).hexdigest()[:10]
-                        break
-                else:
-                    _feat = "nofeat"
+                    key = _line.split(":", 1)[0].strip()
+                    if key in {"flags", "model name", "model", "cpu family", "stepping"}:
+                        _ident.append(
+                            f"{key}=" + " ".join(sorted(_line.split(':', 1)[1].split()))
+                        )
+                    if _line == "\n" and _ident:
+                        break  # first core only
+            _feat = (
+                _hl.sha256("|".join(sorted(set(_ident))).encode()).hexdigest()[:10]
+                if _ident
+                else "nofeat"
+            )
         except OSError:
             _feat = "nofeat"
         _cache_dir = os.path.join(

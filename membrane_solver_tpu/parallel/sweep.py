@@ -97,15 +97,17 @@ def make_sweep_minimize(
             tol, floor, max_zero, zero_counters,
         )
 
+    from membrane_solver_tpu.utils.xla_cache import no_persistent_cache
+
     if device_mesh is None:
-        return jax.jit(run)
+        return no_persistent_cache(jax.jit(run))
     shard = sweep_sharding(device_mesh)
     replicated = NamedSharding(device_mesh, PartitionSpec())
 
     def place(tree, sharding):
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
-    jitted = jax.jit(run)
+    jitted = no_persistent_cache(jax.jit(run))
 
     def run_sharded(states, topo, params, stepper_states, n_steps, step_sizes,
                     fixed_step, tol, floor, max_zero, zero_counters):

@@ -117,9 +117,17 @@ def tp_energy_and_grad(spec, mesh: Mesh) -> Callable:
         E, g = vg(state.positions, state, topo, params)
         return E, g
 
-    return run
+    from membrane_solver_tpu.utils.xla_cache import no_persistent_cache
+
+    return no_persistent_cache(run)
 
 
 def tp_minimize_block(spec, options, mesh: Mesh) -> Callable:
-    """The full jitted minimize block, executable on tp-sharded inputs."""
-    return jit_core.minimize_block(spec, options)
+    """The full jitted minimize block, executable on tp-sharded inputs.
+
+    Wrapped to bypass the persistent compilation cache: deserializing the
+    multi-device host-platform executable aborts (utils/xla_cache.py).
+    """
+    from membrane_solver_tpu.utils.xla_cache import no_persistent_cache
+
+    return no_persistent_cache(jit_core.minimize_block(spec, options))

@@ -1271,6 +1271,42 @@ def make_energy_value(spec: ProblemSpec) -> Callable:
     return _BLOCK_CACHE[key]
 
 
+def make_energy_breakdown(spec: ProblemSpec) -> Callable:
+    """Jitted per-module energy breakdown: fn(state, topo, params) -> dict.
+
+    One device program instead of per-module eager dispatch — the theta_B
+    scan records a full breakdown per candidate (reference
+    tilt_optimization.py:92), which made eager evaluation the scan's
+    dominant cost on scan-every-iteration lanes.  Scales follow
+    :func:`module_scale_fn` like every other evaluation path.
+    """
+    key = (spec, "__energy_breakdown__")
+    if key not in _BLOCK_CACHE:
+        names = active_energy_modules(spec)
+        fns = []
+        for name in names:
+            module = get_module(name)
+            maker = getattr(module, "make_energy", None)
+            fns.append(
+                (name, maker(spec) if maker is not None else module.energy,
+                 module_scale_fn(spec, name))
+            )
+
+        def breakdown(state: MeshState, topo: Topology, params: Dict):
+            geo = dgeo.triangle_geometry(state.positions, topo.tri_rows, topo.tri_valid)
+            dtype = state.positions.dtype
+            out = {}
+            for name, fn, sc in fns:
+                term = fn(geo, state, topo, params)
+                if sc is not None:
+                    term = sc(params, dtype) * term
+                out[name] = term
+            return out
+
+        _BLOCK_CACHE[key] = jax.jit(breakdown)
+    return _BLOCK_CACHE[key]
+
+
 def make_energy_and_grad(spec: ProblemSpec) -> Callable:
     """Jitted (E, projected grad) evaluation matching the in-loop assembly."""
     key = (spec, "__energy_grad__")

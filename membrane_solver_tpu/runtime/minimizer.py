@@ -289,19 +289,8 @@ class Minimizer:
         p.params = build_params(self.mesh)
         from membrane_solver_tpu.device import geo as dgeo
 
-        geo = dgeo.triangle_geometry(p.state.positions, p.topo.tri_rows, p.topo.tri_valid)
-        out: Dict[str, float] = {}
-        for name in jit_core.active_energy_modules(p.spec):
-            module = get_module(name)
-            maker = getattr(module, "make_energy", None)
-            fn = maker(p.spec) if maker is not None else module.energy
-            term = float(fn(geo, p.state, p.topo, p.params))
-            sc = jit_core.module_scale_fn(p.spec, name)
-            if sc is not None:
-                dt = p.state.positions.dtype
-                term *= float(sc(p.params, dt))
-            out[name] = term
-        return out
+        vals = jit_core.make_energy_breakdown(p.spec)(p.state, p.topo, p.params)
+        return {k: float(v) for k, v in vals.items()}
 
     # ------------------------------------------------------------------
     # constraint enforcement

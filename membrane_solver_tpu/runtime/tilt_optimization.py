@@ -79,21 +79,14 @@ def optimize_thetaB_scalar(minimizer, *, tilt_mode: str, iteration: int) -> None
     guard_factor = float(gp.get("tilt_relax_energy_guard_factor", 0.0) or 0.0)
     guard_min = float(gp.get("tilt_relax_energy_guard_min", 1e-4) or 1e-4)
 
-    def breakdown_at(st, cand_params):
-        """Per-module energies for the scan record (reference records the 5
-        tilt-family terms per candidate; used by parity diagnostics)."""
-        from membrane_solver_tpu.device import geo as dgeo
-        from membrane_solver_tpu.energy import get_module
-        from membrane_solver_tpu.runtime.jit_core import active_energy_modules
+    _bd = jit_core.make_energy_breakdown(p.spec)
 
-        geo = dgeo.triangle_geometry(st.positions, p.topo.tri_rows, p.topo.tri_valid)
-        out = {}
-        for name in active_energy_modules(p.spec):
-            module = get_module(name)
-            maker = getattr(module, "make_energy", None)
-            fn = maker(p.spec) if maker is not None else module.energy
-            out[name] = float(fn(geo, st, p.topo, cand_params))
-        return out
+    def breakdown_at(st, cand_params):
+        """Per-module energies for the scan record (reference records a full
+        breakdown per candidate, tilt_optimization.py:92) — ONE jitted
+        program, not per-module eager dispatch."""
+        vals = _bd(st, p.topo, cand_params)
+        return {k: float(v) for k, v in vals.items()}
 
     e0 = float(energy_fn(base_state, p.topo, params))
     record = {

@@ -1,0 +1,59 @@
+"""Persistent-cache hygiene helpers.
+
+XLA:CPU's persistent compilation cache occasionally aborts or SIGSEGVs
+inside ``get_executable_and_time`` when deserializing LARGE executables —
+observed for mismatched-host entries (mitigated by the per-CPU-identity
+cache directory in ``membrane_solver_tpu.__init__``) and, independently,
+for MULTI-DEVICE host-platform executables (the 8-virtual-device tensor-
+parallel minimize block aborted on a warm read even same-host).  Rather
+than risk the crash, multi-device programs never touch the cache: they
+compile fresh per process, which is the test/dryrun scale anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+
+def disable_persistent_cache():
+    """Disable the persistent cache for the current process state.
+
+    Setting ``jax_compilation_cache_dir = None`` alone is NOT enough once
+    any compile has used the cache: ``compilation_cache.is_cache_used``
+    memoizes a sticky ``_cache_used`` global and the LRU object keeps the
+    directory it was initialized with.  ``reset_cache()`` drops both so
+    the config is re-evaluated.
+    """
+    import jax
+    from jax._src import compilation_cache as _cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
+    return prev
+
+
+def restore_persistent_cache(prev) -> None:
+    import jax
+    from jax._src import compilation_cache as _cc
+
+    jax.config.update("jax_compilation_cache_dir", prev)
+    _cc.reset_cache()  # re-evaluate with the restored directory
+
+
+def no_persistent_cache(fn):
+    """Run ``fn`` with the XLA persistent compilation cache disabled."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        prev = disable_persistent_cache()
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            restore_persistent_cache(prev)
+
+    # preserve the jit inspection surface (HLO tests call .lower())
+    for attr in ("lower", "trace", "eval_shape"):
+        if hasattr(fn, attr):
+            setattr(wrapped, attr, getattr(fn, attr))
+    return wrapped
