@@ -177,6 +177,32 @@ def run_lane(lane: dict, configs) -> dict:
     return results
 
 
+_TPU_ALIVE = None
+
+
+def _tpu_alive() -> bool:
+    """Probe the accelerator with a short-timeout subprocess.
+
+    The axon tunnel can wedge so hard that jax.devices() blocks forever
+    (seen 2026-08-17 after a VM migration); without this probe every TPU
+    lane would burn its full subprocess timeout before falling back.
+    """
+    global _TPU_ALIVE
+    if _TPU_ALIVE is None:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('BACKEND', jax.default_backend(), len(jax.devices()))"],
+                capture_output=True, text=True, timeout=180,
+            )
+            _TPU_ALIVE = "BACKEND" in out.stdout and "cpu" not in out.stdout.split()
+        except Exception:
+            _TPU_ALIVE = False
+        if not _TPU_ALIVE:
+            print("bench: accelerator unreachable; CPU lanes only", file=sys.stderr)
+    return _TPU_ALIVE
+
+
 def _default_configs(pin):
     force_f64 = os.environ.get("BENCH_F64") == "1"
     if pin:
@@ -184,6 +210,8 @@ def _default_configs(pin):
     cfgs = [("tpu_f32", "None", "0"), ("cpu_f64", "cpu", "1")]
     if force_f64:
         cfgs = [("tpu_f64", "None", "1"), ("cpu_f64", "cpu", "1")]
+    if not _tpu_alive():
+        cfgs = [c for c in cfgs if not c[0].startswith("tpu")]
     return cfgs
 
 
