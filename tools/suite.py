@@ -221,8 +221,69 @@ def run_free_disk_light():
     return time.perf_counter() - t0, float(ctx.minimizer.compute_energy())
 
 
+def run_hard_rim_bench():
+    """The reference's flagship hard-rim relaxation benchmark: 40+100+120
+    coupled-tilt GD steps with two refine+5x-vertex-average interludes on
+    the R12 mesh (benchmark_kozlov_1disk_3d_profile_hard_rim.py:43-77;
+    74.9 s on this host 2026-08-18)."""
+    import numpy as np
+
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+    from membrane_solver_tpu.runtime.refinement import (
+        refine_polygonal_facets,
+        refine_triangle_mesh,
+    )
+    from membrane_solver_tpu.runtime.vertex_average import vertex_average
+
+    mesh_path = REF_ROOT / "benchmarks" / "inputs" / "bench_kozlov_1disk_profile_hard_rim_R12.yaml"
+    if not mesh_path.exists():
+        from membrane_solver_tpu.meshgen import build
+
+        data = build("kozlov_1disk")
+    else:
+        data = load_data(str(mesh_path))
+    mesh = parse_geometry(data)
+    mesh.global_parameters.update(
+        {
+            "tilt_solve_mode": "coupled",
+            "tilt_step_size": 0.15,
+            "tilt_inner_steps": 40,
+            "tilt_tol": 1e-10,
+            "step_size": 0.005,
+            "step_size_mode": "fixed",
+        }
+    )
+    mn = Minimizer(mesh, quiet=True)
+    mn.step_size = 0.005
+
+    def refine_and_smooth():
+        m = refine_polygonal_facets(mn.mesh)
+        m = refine_triangle_mesh(m)
+        mn.mesh = m
+        mn.invalidate()
+        mn.enforce_constraints_after_mesh_ops()
+        for _ in range(5):
+            vertex_average(mn.mesh)
+        mn.mesh.increment_version()
+        mn.invalidate()
+        mn.enforce_constraints_after_mesh_ops()
+
+    t0 = time.perf_counter()
+    mn.minimize(40)
+    refine_and_smooth()
+    mn.minimize(100)
+    refine_and_smooth()
+    mn.minimize(120)
+    dt = time.perf_counter() - t0
+    mn._sync_host()
+    z_span = float(np.ptp(np.array([v.position[2] for v in mn.mesh.vertices.values()])))
+    assert np.isfinite(z_span) and z_span > 0.0, "invalid z-span"
+    return dt, float(mn.compute_energy())
+
+
 RUNNER_SCENARIOS = {
     "kozlov_tensionless": run_kozlov_tensionless,
+    "kozlov_hard_rim_bench": run_hard_rim_bench,
     "kozlov_induction_quick": run_induction_quick,
     "tilt_relaxation": run_tilt_relaxation,
     "annulus_decay_length": run_annulus_decay_length,
