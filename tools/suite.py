@@ -221,11 +221,11 @@ def run_free_disk_light():
     return time.perf_counter() - t0, float(ctx.minimizer.compute_energy())
 
 
-def run_hard_rim_bench():
-    """The reference's flagship hard-rim relaxation benchmark: 40+100+120
-    coupled-tilt GD steps with two refine+5x-vertex-average interludes on
-    the R12 mesh (benchmark_kozlov_1disk_3d_profile_hard_rim.py:43-77;
-    74.9 s on this host 2026-08-18)."""
+def _hard_rim_protocol(mesh_file):
+    """The reference's flagship relaxation protocol: 40+100+120 coupled-
+    tilt GD steps with two refine+5x-vertex-average interludes
+    (benchmark_kozlov_1disk_3d_profile_hard_rim[_free_disk].py:43-77;
+    74.9 s / 299 s on this host 2026-08-18)."""
     import numpy as np
 
     from membrane_solver_tpu import Minimizer, load_data, parse_geometry
@@ -235,7 +235,7 @@ def run_hard_rim_bench():
     )
     from membrane_solver_tpu.runtime.vertex_average import vertex_average
 
-    mesh_path = REF_ROOT / "benchmarks" / "inputs" / "bench_kozlov_1disk_profile_hard_rim_R12.yaml"
+    mesh_path = REF_ROOT / "benchmarks" / "inputs" / mesh_file
     if not mesh_path.exists():
         from membrane_solver_tpu.meshgen import build
 
@@ -281,9 +281,20 @@ def run_hard_rim_bench():
     return dt, float(mn.compute_energy())
 
 
+def run_hard_rim_bench():
+    return _hard_rim_protocol("bench_kozlov_1disk_profile_hard_rim_R12.yaml")
+
+
+def run_hard_rim_free_disk_bench():
+    return _hard_rim_protocol(
+        "bench_kozlov_1disk_profile_hard_rim_R12_free_disk.yaml"
+    )
+
+
 RUNNER_SCENARIOS = {
     "kozlov_tensionless": run_kozlov_tensionless,
     "kozlov_hard_rim_bench": run_hard_rim_bench,
+    "kozlov_hard_rim_free_disk_bench": run_hard_rim_free_disk_bench,
     "kozlov_induction_quick": run_induction_quick,
     "tilt_relaxation": run_tilt_relaxation,
     "annulus_decay_length": run_annulus_decay_length,
