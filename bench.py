@@ -186,6 +186,8 @@ def _tpu_alive() -> bool:
     The axon tunnel can wedge so hard that jax.devices() blocks forever
     (seen 2026-08-17 after a VM migration); without this probe every TPU
     lane would burn its full subprocess timeout before falling back.
+    The 300 s grace is generous (healthy init is ~10-20 s) because
+    killing a client mid-init can itself wedge a slow-but-alive tunnel.
     """
     global _TPU_ALIVE
     if _TPU_ALIVE is None:
@@ -193,7 +195,7 @@ def _tpu_alive() -> bool:
             out = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print('BACKEND', jax.default_backend(), len(jax.devices()))"],
-                capture_output=True, text=True, timeout=180,
+                capture_output=True, text=True, timeout=300,
             )
             _TPU_ALIVE = "BACKEND" in out.stdout and "cpu" not in out.stdout.split()
         except Exception:

@@ -28,9 +28,16 @@ import dataclasses
 from typing import Optional
 
 import jax
+
 import jax.numpy as jnp
 
 from membrane_solver_tpu.utils.precision import tiny as _tiny
+
+def _effective_backend():
+    from membrane_solver_tpu.utils.placement import effective_backend
+
+    return effective_backend()
+
 
 EPS_AREA = 1e-12
 
@@ -105,7 +112,7 @@ def scatter_add_rows(
     """
     F = tri_rows.shape[0]
     use_matmul = (
-        jax.default_backend() != "cpu" and F * n_rows <= _SCATTER_MATMUL_MAX
+        _effective_backend() != "cpu" and F * n_rows <= _SCATTER_MATMUL_MAX
     )
     if use_matmul:
         dtype = values0.dtype

@@ -17,9 +17,16 @@ explicit elimination in basic ops is both portable and fast:
 from __future__ import annotations
 
 import jax
+
 import jax.numpy as jnp
 
 from membrane_solver_tpu.utils.precision import degen as _degen, tiny as _tiny
+
+def _effective_backend():
+    from membrane_solver_tpu.utils.placement import effective_backend
+
+    return effective_backend()
+
 
 
 def cholesky(A: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +109,7 @@ def lu_factor(A: jnp.ndarray):
     np.linalg.solve).  TPU: explicit GEPP storing L (unit lower) and U in
     one matrix plus the row permutation.
     """
-    if jax.default_backend() == "cpu":
+    if _effective_backend() == "cpu":
         import jax.scipy.linalg as jsl
 
         lu, piv = jsl.lu_factor(A)
@@ -168,7 +175,7 @@ def solve_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     XLA) an explicit partial-pivoting elimination with dgetf2's operation
     order.  Single system ((n, n), (n,)) — batched callers vmap over it.
     """
-    if jax.default_backend() == "cpu":
+    if _effective_backend() == "cpu":
         return jnp.linalg.solve(A, b)
     if A.dtype == jnp.float32:
         # XLA ships a blocked f32 LU on TPU; the explicit elimination below
@@ -276,7 +283,7 @@ def make_dense_solver(A: jnp.ndarray):
     substitution inside device loops costs ~30us per row on TPU, which
     dominates everything else at these sizes.
     """
-    if jax.default_backend() == "cpu":
+    if _effective_backend() == "cpu":
         # CPU: LAPACK getrf/getrs.
         import jax.scipy.linalg as jsl
 

@@ -356,12 +356,10 @@ def compile_state(
             "'rim_matched_radial_continuation_v1'."
         )
     if _icm != "off":
-        raw_c = mesh.global_parameters.get("tilt_thetaB_center")
-        if raw_c is None:
-            raw_c = mesh.global_parameters.get("pin_to_circle_point")
-        c = np.asarray(raw_c if raw_c is not None else [0.0, 0.0], dtype=float).reshape(-1)
+        from membrane_solver_tpu.energy.bending_tilt_leaflet import assume_J0_center_xy
+
         extras["core:inner_coupled/center_xy"] = jnp.asarray(
-            c[:2] if c.size >= 2 else np.zeros(2)
+            assume_J0_center_xy(mesh.global_parameters)
         )
     # core hook: curved free-disk shape-DOF restriction masks (reference
     # runtime/projections/curved_disk.py:14-54) — shared_rim_staggered_v1

@@ -5,7 +5,10 @@ Parity: reference ``modules/energy/bending_tilt_in.py``.
 
 from __future__ import annotations
 
-from membrane_solver_tpu.energy.bending_tilt_leaflet import leaflet_bending_tilt_energy
+from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+    combined_zero_mask,
+    leaflet_bending_tilt_energy,
+)
 from membrane_solver_tpu.energy.leaflet_presence import present_triangles
 
 USES_TILT_LEAFLETS = True
@@ -39,19 +42,6 @@ def make_tilt_frozen(spec):
     )
 
 
-def _combined_zero_mask(topo, leaflet):
-    """assume-J0 preset rows plus benchmark base-term region rows."""
-    import jax.numpy as jnp
-
-    j0 = topo.extras.get(f"energy:bending_tilt_{leaflet}/assume_J0")
-    region = topo.extras.get(f"energy:bending_tilt_{leaflet}/region_zero")
-    if region is None:
-        return j0
-    if j0 is None:
-        return region
-    return j0 | region
-
-
 def make_energy(spec):
     """Static-mode-aware energy (theory-parity base/divergence overrides)."""
     from membrane_solver_tpu.energy.bending_tilt_leaflet import static_modes
@@ -76,7 +66,7 @@ def make_energy(spec):
             c0_key="spontaneous_curvature_in",
             tri_present=present_triangles(topo, "in"),
             zero_base=zero_base,
-            j0_mask=_combined_zero_mask(topo, "in"),
+            j0_mask=combined_zero_mask(topo, "in"),
             recovered_div=recovered,
             update_mode=upd_mode,
             stencil_trace=(
@@ -105,11 +95,9 @@ def compile_topology(layout):
     gp = layout.mesh.global_parameters
     mode = str(gp.get("bending_tilt_in_update_mode") or "off").strip().lower()
     if mode == "outer_near_divergence_cap_v1":
-        raw = gp.get("tilt_thetaB_center")
-        if raw is None:
-            raw = gp.get("pin_to_circle_point")
-        c = np.asarray(raw if raw is not None else [0.0, 0.0], dtype=float).reshape(-1)
-        out["update_center"] = c[:2] if c.size >= 2 else np.zeros(2)
+        from membrane_solver_tpu.energy.bending_tilt_leaflet import assume_J0_center_xy
+
+        out["update_center"] = assume_J0_center_xy(gp)
     if (
         str(gp.get("bending_tilt_in_scaffold_shape_stencil_mode") or "off")
         .strip()

@@ -381,6 +381,31 @@ def update_mode_static(spec, leaflet: str) -> str:
     return mode
 
 
+def assume_J0_center_xy(gp):
+    """xy center for radial clipping (reference bt_params.py:60-72):
+    tilt_thetaB_center, falling back to pin_to_circle_point, else origin."""
+    import numpy as np
+
+    raw = gp.get("tilt_thetaB_center")
+    if raw is None:
+        raw = gp.get("pin_to_circle_point")
+    if raw is None:
+        return np.zeros(2)
+    arr = np.asarray(raw, dtype=float).reshape(-1)
+    return arr[:2] if arr.size >= 2 else np.zeros(2)
+
+
+def combined_zero_mask(topo, leaflet: str):
+    """assume-J0 preset rows plus benchmark base-term region rows."""
+    j0 = topo.extras.get(f"energy:bending_tilt_{leaflet}/assume_J0")
+    region = topo.extras.get(f"energy:bending_tilt_{leaflet}/region_zero")
+    if region is None:
+        return j0
+    if j0 is None:
+        return region
+    return j0 | region
+
+
 def compile_assume_J0(layout, leaflet: str):
     """Compile hook: padded bool mask of assume-J0 preset vertex rows.
 
@@ -459,11 +484,9 @@ def make_leaflet_bending_tilt_frozen(
         base_f, va_eff_f, _a_eff_f, _kappa, _interior, _xf = _fields(
             positions, topo, params, kappa_key, c0_key, tri_present
         )
-        j0 = topo.extras.get(j0_key)
-        region = topo.extras.get(f"energy:bending_tilt_{leaflet}/region_zero")
-        if region is not None:
-            j0 = region if j0 is None else (j0 | region)
-        base_f = _apply_base_overrides(base_f, zero_base, j0)
+        base_f = _apply_base_overrides(
+            base_f, zero_base, combined_zero_mask(topo, leaflet)
+        )
         geo = dgeo.triangle_geometry(positions, topo.tri_rows, topo.tri_valid)
         g = dgeo.p1_shape_gradients(geo)
         keep = topo.tri_valid if tri_present is None else (topo.tri_valid & tri_present)

@@ -5,7 +5,10 @@ Parity: reference ``modules/energy/bending_tilt_out.py``.
 
 from __future__ import annotations
 
-from membrane_solver_tpu.energy.bending_tilt_leaflet import leaflet_bending_tilt_energy
+from membrane_solver_tpu.energy.bending_tilt_leaflet import (
+    combined_zero_mask,
+    leaflet_bending_tilt_energy,
+)
 from membrane_solver_tpu.energy.leaflet_presence import present_triangles
 
 USES_TILT_LEAFLETS = True
@@ -39,19 +42,6 @@ def make_tilt_frozen(spec):
     )
 
 
-def _combined_zero_mask(topo, leaflet):
-    """assume-J0 preset rows plus benchmark base-term region rows."""
-    import jax.numpy as jnp
-
-    j0 = topo.extras.get(f"energy:bending_tilt_{leaflet}/assume_J0")
-    region = topo.extras.get(f"energy:bending_tilt_{leaflet}/region_zero")
-    if region is None:
-        return j0
-    if j0 is None:
-        return region
-    return j0 | region
-
-
 def make_energy(spec):
     """Static-mode-aware energy (theory-parity base/divergence overrides)."""
     from membrane_solver_tpu.energy.bending_tilt_leaflet import static_modes
@@ -81,7 +71,7 @@ def make_energy(spec):
             c0_key="spontaneous_curvature_out",
             tri_present=present_triangles(topo, "out"),
             zero_base=zero_base,
-            j0_mask=_combined_zero_mask(topo, "out"),
+            j0_mask=combined_zero_mask(topo, "out"),
             recovered_div=recovered,
             idiv_masks=idiv_masks,
         )

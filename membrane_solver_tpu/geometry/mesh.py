@@ -25,8 +25,6 @@ from membrane_solver_tpu.core.ordered_set import OrderedUniqueList
 from membrane_solver_tpu.core.parameters import GlobalParameters
 from membrane_solver_tpu.geometry.entities import Body, Edge, Facet, Vertex
 
-_MESH_UID = iter(range(1, 1 << 62))
-
 
 class Mesh:
     """Entity mesh: vertices/edges/facets/bodies + run configuration."""
@@ -51,9 +49,6 @@ class Mesh:
         # compiled device state knows to refresh (analog of the reference's
         # mesh version counters, minus the cache layer they drive)
         self._version = 0
-        # process-unique identity: id() can be reused after GC, so staleness
-        # tokens pair this with _version instead of the object's address
-        self._uid = next(_MESH_UID)
 
     def increment_version(self) -> None:
         self._version += 1

@@ -100,7 +100,9 @@ def make_sweep_minimize(
     from membrane_solver_tpu.utils.xla_cache import no_persistent_cache
 
     if device_mesh is None:
-        return no_persistent_cache(jax.jit(run))
+        # single-device: the persistent cache is safe (only MULTI-device
+        # host executables hit the deserialization aborts)
+        return jax.jit(run)
     shard = sweep_sharding(device_mesh)
     replicated = NamedSharding(device_mesh, PartitionSpec())
 

@@ -107,14 +107,23 @@ class Minimizer:
         return tuple(sorted((k, repr(v)) for k, v in gp.items()))
 
     def problem(self) -> CompiledProblem:
+        # latency-aware placement is re-applied on EVERY entry, not just on
+        # recompiles: the default device is process-global, so two
+        # minimizers of different sizes interleaving in one process must
+        # each re-establish their own placement before touching the device
+        # (utils/placement.py).
+        from membrane_solver_tpu.device.state import capacity_for
+        from membrane_solver_tpu.utils.placement import apply_placement
+
+        apply_placement(capacity_for(len(self.mesh.vertices)))
         fp = self._fingerprint_params()
         # Host mesh mutated in place (vertex_average, set-commands, manual
         # edits) or swapped: the device state is stale — drop it WITHOUT
         # writeback (the host is the source of truth for host-side edits).
-        mesh_token = (
-            getattr(self.mesh, "_uid", id(self.mesh)),
-            getattr(self.mesh, "_version", 0),
-        )
+        # the token holds the mesh OBJECT: object identity cannot be
+        # recycled while referenced (unlike id()), and a deepcopy still
+        # compares unequal
+        mesh_token = (self.mesh, getattr(self.mesh, "_version", 0))
         if self._problem is not None and mesh_token != getattr(self, "_mesh_token", None):
             self._problem = None
         self._mesh_token = mesh_token
@@ -122,19 +131,6 @@ class Minimizer:
             if self._problem is not None:
                 # keep device-evolved state: sync host first
                 writeback(self._problem, self.mesh)
-            # latency-aware placement: route small problems to the
-            # co-resident XLA:CPU backend (utils/placement.py) BEFORE the
-            # state arrays are created, so they and every downstream
-            # scalar/params construction land there — otherwise each
-            # build_params scalar is created on the accelerator and
-            # shipped back per chunk, which costs more than the compute
-            # on a tunneled TPU.  Re-evaluated on every recompile, so a
-            # refined problem that outgrows the threshold returns to the
-            # accelerator.
-            from membrane_solver_tpu.device.state import capacity_for
-            from membrane_solver_tpu.utils.placement import apply_placement
-
-            apply_placement(capacity_for(len(self.mesh.vertices)))
             self._problem = compile_state(self.mesh)
             # module lists can be overridden relative to the mesh
             import dataclasses as _dc
@@ -359,6 +355,9 @@ class Minimizer:
             for k in sorted(self.global_params.to_dict())
             if "leaflet" in k or "disk" in k or "interface" in k or "gaussian" in k
         )
+        raw_interval = self.global_params.get("tilt_projection_interval")
+        if raw_interval is not None and int(raw_interval) < 1:
+            raise ValueError("tilt_projection_interval must be >= 1.")
         tok = (self.mesh, getattr(self.mesh, "_topology_version", 0), gp_tok)
         if getattr(self, "_validated_topology_token", None) != tok:
             validate_leaflet_absence_topology(self.mesh, self.global_params)

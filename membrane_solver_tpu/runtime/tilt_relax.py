@@ -24,12 +24,19 @@ import dataclasses
 from typing import Callable, Dict, Tuple
 
 import jax
+
 import jax.numpy as jnp
 
 from membrane_solver_tpu.device import geo as dgeo
 from membrane_solver_tpu.device import linalg as dlinalg
 from membrane_solver_tpu.device.state import MeshState, ProblemSpec, Topology
 from membrane_solver_tpu.energy import get_module
+
+def _effective_backend():
+    from membrane_solver_tpu.utils.placement import effective_backend
+
+    return effective_backend()
+
 
 MAX_BACKTRACKS = 12
 STEP_FLOOR = 1e-16
@@ -348,7 +355,7 @@ def make_compact_tilt_projector(compact, n_rows=None):
     if (
         n_rows is not None
         and force != "0"
-        and (jax.default_backend() != "cpu" or force == "1")
+        and (_effective_backend() != "cpu" or force == "1")
         and k * s * 2 * n_rows <= _SLOT_ONEHOT_MAX
     ):
         flat = (leaf * n_rows + rows).reshape(-1)  # (k*s,)
@@ -814,7 +821,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
 
         apply_delta_cap = None
         if (
-            spec.option("inner_coupled_update_mode", "off")
+            spec.option("inner_coupled_update_mode", "off").strip().lower()
             == "rim_matched_radial_continuation_v1"
             and "core:inner_coupled/center_xy" in topo.extras
         ):

@@ -74,6 +74,23 @@ def compute_device(nv_cap: int):
     return None
 
 
+def effective_backend() -> str:
+    """The platform computations actually run on.
+
+    ``jax.default_backend()`` ignores ``jax_default_device``, so after
+    :func:`apply_placement` routes a small problem to XLA:CPU the
+    backend-specialized kernels (dense-solver strategy, one-hot scatter,
+    slot-projector matmuls) would otherwise still take their accelerator
+    paths on CPU-placed arrays.
+    """
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev))
+    return jax.default_backend()
+
+
 _PLACED = False
 
 

@@ -27,4 +27,6 @@ def batched_line_search() -> bool:
     env = os.environ.get("MEMBRANE_SOLVER_BATCHED_LS")
     if env is not None:
         return env not in {"0", "false", "no"}
-    return jax.default_backend() != "cpu"
+    from membrane_solver_tpu.utils.placement import effective_backend
+
+    return effective_backend() != "cpu"

@@ -67,3 +67,36 @@ def test_auto_noop_on_multidevice_session(monkeypatch):
     )
     monkeypatch.setenv("MEMBRANE_SOLVER_BACKEND", "auto")
     assert placement.compute_device(64) is None
+
+
+def test_problem_reapplies_placement_each_entry(monkeypatch):
+    """Two minimizers of different sizes interleaving in one process must
+    each re-establish their own placement: problem() calls apply_placement
+    on EVERY entry, not only on recompiles (the default device is
+    process-global)."""
+    from membrane_solver_tpu import Minimizer, load_data, parse_geometry
+    from membrane_solver_tpu.runtime import minimizer as mz
+
+    calls = []
+    monkeypatch.setattr(
+        placement, "apply_placement", lambda cap: calls.append(cap)
+    )
+    mesh = parse_geometry(load_data("meshes/cube.json"))
+    mn = Minimizer(mesh, quiet=True)
+    mn.problem()
+    mn.problem()
+    mn.problem()
+    assert len(calls) == 3
+    assert all(c == calls[0] for c in calls)
+
+
+def test_effective_backend_follows_default_device():
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    try:
+        jax.config.update("jax_default_device", cpu)
+        assert placement.effective_backend() == "cpu"
+    finally:
+        jax.config.update("jax_default_device", None)
+    assert placement.effective_backend() == jax.default_backend()

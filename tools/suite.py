@@ -237,11 +237,10 @@ def _hard_rim_protocol(mesh_file):
 
     mesh_path = REF_ROOT / "benchmarks" / "inputs" / mesh_file
     if not mesh_path.exists():
-        from membrane_solver_tpu.meshgen import build
-
-        data = build("kozlov_1disk")
-    else:
-        data = load_data(str(mesh_path))
+        # never substitute a different mesh: recorded history entries were
+        # measured on the real R12 inputs
+        raise FileNotFoundError(f"hard-rim benchmark input missing: {mesh_path}")
+    data = load_data(str(mesh_path))
     mesh = parse_geometry(data)
     mesh.global_parameters.update(
         {
