@@ -85,3 +85,50 @@ def test_perturb_changes_positions(ctx):
     execute_command_line(ctx, "perturb 0.01")
     after = ctx.mesh.positions_array()
     assert np.abs(after - before).max() > 0.0
+
+
+def test_set_vertex_attribute_and_print_filter(ctx, capsys):
+    """`set vertex N fixed true` + `print edges len > X` (reference
+    commands/meta.py:8-640)."""
+    execute_command_line(ctx, "set vertex 0 fixed true")
+    ctx.sync_mesh()
+    assert bool(ctx.mesh.vertices[0].fixed)
+    execute_command_line(ctx, "print edges len > 0.5")
+    out = capsys.readouterr().out
+    assert out.strip()  # listing printed
+
+
+def test_energy_breakdown_and_tilt_stats_commands(ctx, capsys):
+    execute_command_line(ctx, "energy")
+    out = capsys.readouterr().out
+    assert "surface" in out.lower() or "total" in out.lower()
+    execute_command_line(ctx, "tilt_stats")  # no tilt modules: quiet no-op
+
+    kmesh = parse_geometry(build("kozlov_1disk"))
+    kmesh.vertices[1].tilt_in[:] = [0.1, 0.0, 0.0]  # non-zero field to report
+    kctx = CommandContext(mesh=kmesh, minimizer=Minimizer(kmesh, quiet=True))
+    execute_command_line(kctx, "tilt_stats")
+    out = capsys.readouterr().out
+    assert "tilt_in" in out
+
+
+def test_macro_recursion_guard(ctx):
+    ctx.mesh.macros["loop_a"] = "loop_b"
+    ctx.mesh.macros["loop_b"] = "loop_a"
+    # must terminate (depth guard), not recurse forever
+    execute_command_line(ctx, "loop_a")
+
+
+def test_history_and_refresh_commands(ctx, capsys):
+    execute_command_line(ctx, "g1")
+    execute_command_line(ctx, "history")  # prints via readline/log; no raise
+    execute_command_line(ctx, "refresh")  # cache refresh no-op must not raise
+
+
+def test_unknown_command_warns_and_continues(ctx, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        execute_command_line(ctx, "definitely_not_a_command_42")
+    # still usable afterwards
+    execute_command_line(ctx, "g1")

@@ -10,6 +10,7 @@ checkpoint/resume surface, SURVEY 5.4).
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from membrane_solver_tpu import Minimizer, load_data, parse_geometry, save_geometry
 from membrane_solver_tpu.meshgen import build
@@ -78,3 +79,41 @@ def test_resume_equals_continue(tmp_path):
     mn_c = Minimizer(mesh_c, quiet=True)
     mn_c.minimize(5)
     assert abs(float(mn_c.compute_energy()) - e_straight_5more) < 1e-10
+
+
+def test_explicit_id_forms_roundtrip(tmp_path):
+    """Explicit-ID dict forms for vertices/edges/faces parse and round-trip
+    (reference io_readers list-or-dict duality)."""
+    data = {
+        "vertices": {"10": [0, 0, 0], "11": [1, 0, 0], "12": [0, 1, 0]},
+        "edges": {"5": [10, 11], "6": [11, 12], "7": [12, 10]},
+        "faces": {"3": [5, 6, 7]},
+        "energy_modules": ["surface"],
+        "global_parameters": {"surface_tension": 2.0},
+    }
+    mesh = parse_geometry(data)
+    assert set(mesh.vertices) == {10, 11, 12}
+    assert set(mesh.facets) == {3}
+    path = tmp_path / "explicit.json"
+    save_geometry(mesh, str(path))
+    mesh2 = parse_geometry(load_data(str(path)))
+    assert set(mesh2.vertices) == set(mesh.vertices)
+    mn = Minimizer(mesh2, quiet=True)
+    e = float(mn.compute_energy())
+    assert e == pytest.approx(2.0 * 0.5, rel=1e-12)  # gamma * triangle area
+
+
+def test_live_vis_smoke(tmp_path):
+    """plot_live.update_live_vis drives a persistent Agg figure without
+    raising (reference plot_live.py:30)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from membrane_solver_tpu.meshgen import build
+    from membrane_solver_tpu.visualization.plot_live import update_live_vis
+
+    mesh = parse_geometry(build("cube"))
+    state = None
+    for _ in range(2):
+        state = update_live_vis(mesh, state=state, color_by="tilt")
+    assert state is not None
