@@ -57,33 +57,19 @@ if _cache not in {"0", "false", "no"}:
         # partition by host CPU identity: executables cached on a machine
         # with a different feature set (the VM fleet mixes avx512 variants)
         # are not merely slow to load — deserializing them can SIGSEGV
-        # inside get_executable_and_time.  The fingerprint must include the
-        # MODEL, not just the cpuinfo flags: two hosts with identical flag
-        # sets produce different LLVM tuning features (+prefer-no-gather/
-        # +prefer-no-scatter are scheduling-model-derived), and XLA:CPU
-        # AOT entries built under one tuning set SIGSEGV'd under the other
-        # with the flags-only hash (observed 2026-08-17 after a VM
-        # migration).  A per-identity directory means mismatched entries
+        # inside get_executable_and_time.  The identity comes from RUNTIME
+        # CPUID (utils/cpu_identity.py), not /proc/cpuinfo: the fleet
+        # live-migrates VMs without a reboot, /proc/cpuinfo goes stale at
+        # boot, but LLVM's codegen tuning (+prefer-no-gather/...) follows
+        # what CPUID reports NOW — a /proc-keyed directory served
+        # mismatched AOT entries after such a migration (observed
+        # 2026-08-18).  A per-identity directory means mismatched entries
         # are never even seen.
         try:
-            import hashlib as _hl
+            from membrane_solver_tpu.utils.cpu_identity import cpu_fingerprint
 
-            _ident = []
-            with open("/proc/cpuinfo") as _fh:
-                for _line in _fh:
-                    key = _line.split(":", 1)[0].strip()
-                    if key in {"flags", "model name", "model", "cpu family", "stepping"}:
-                        _ident.append(
-                            f"{key}=" + " ".join(sorted(_line.split(':', 1)[1].split()))
-                        )
-                    if _line == "\n" and _ident:
-                        break  # first core only
-            _feat = (
-                _hl.sha256("|".join(sorted(set(_ident))).encode()).hexdigest()[:10]
-                if _ident
-                else "nofeat"
-            )
-        except OSError:
+            _feat = "c" + cpu_fingerprint()
+        except Exception:
             _feat = "nofeat"
         _cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "membrane_solver_tpu", f"xla-{_feat}"

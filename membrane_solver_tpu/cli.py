@@ -147,6 +147,14 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Never block forever on a wedged accelerator tunnel: probe with a
+        # short timeout before the first device use and fall back to
+        # XLA:CPU when it cannot answer (reference main.py never blocks on
+        # a device; /root/reference/main.py:127-551).
+        from membrane_solver_tpu.utils.backend_probe import ensure_responsive_backend
+
+        ensure_responsive_backend(quiet=args.quiet)
 
     _configure_logging(args)
     mesh = load_mesh_interactive(args.input, interactive=not args.non_interactive)

@@ -257,6 +257,7 @@ def run_benchmark(
     theta_min: float = 0.0,
     theta_max: float = 0.0014,
     theta_count: int = 8,
+    tilt_mass_mode_in: str | None = None,
 ) -> dict:
     import jax
 
@@ -274,6 +275,10 @@ def run_benchmark(
     for _ in range(int(refine_level)):
         mesh = refine_triangle_mesh(refine_polygonal_facets(mesh))
     configure_benchmark_mesh(mesh, theory=theory_params, outer_mode=outer_mode)
+    if tilt_mass_mode_in is not None:
+        # lumped vs consistent tilt mass discretization (reference
+        # benchmarks/benchmark_flat_disk_tilt_mass_mode.py:35-57)
+        mesh.global_parameters.set("tilt_mass_mode_in", str(tilt_mass_mode_in))
     minim = Minimizer(mesh, quiet=True)
     # hard geometric projection before the scan (pins move positions onto
     # their exact circles/planes; reference benchmark does this once after

@@ -202,6 +202,31 @@ def run_volume_optimization():
     return time.perf_counter() - t0, float(E)
 
 
+def run_bending_analytic():
+    """20 analytic-gradient Helfrich bending + Lagrange-volume GD steps on
+    the 386-vertex sphere (reference benchmarks/benchmark_bending.py:21-38,
+    suite lane 'bending_analytic' at reference tools/suite.py:35)."""
+    return _minimize_lane(
+        REF_ROOT / "benchmarks/inputs/bench_bending_analytic.json", {}, 20
+    )
+
+
+def run_flat_disk_tilt_mass_mode():
+    """Lumped vs consistent tilt-mass discretization through the flat-disk
+    KH reproducer (reference benchmarks/benchmark_flat_disk_tilt_mass_mode.py:
+    35-76).  Times both modes end-to-end; the returned energy is the
+    consistent-mode total (the mode the reference's report keys on)."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from reproduce_flat_disk_one_leaflet import run_benchmark
+
+    t0 = time.perf_counter()
+    energies = {}
+    for mode in ("lumped", "consistent"):
+        report = run_benchmark(refine_level=1, tilt_mass_mode_in=mode)
+        energies[mode] = float(report["mesh"]["total_energy"])
+    return time.perf_counter() - t0, energies["consistent"]
+
+
 def run_free_disk_light():
     """profile_relax_light macro on the free-disk hard-rim mesh (reference
     benchmarks/benchmark_kozlov_1disk_3d_profile_hard_rim_free_disk_light.py)."""
@@ -295,6 +320,8 @@ RUNNER_SCENARIOS = {
     "kozlov_hard_rim_bench": run_hard_rim_bench,
     "kozlov_hard_rim_free_disk_bench": run_hard_rim_free_disk_bench,
     "kozlov_induction_quick": run_induction_quick,
+    "bending_analytic": run_bending_analytic,
+    "flat_disk_tilt_mass_mode": run_flat_disk_tilt_mass_mode,
     "tilt_relaxation": run_tilt_relaxation,
     "annulus_decay_length": run_annulus_decay_length,
     "volume_optimization": run_volume_optimization,
