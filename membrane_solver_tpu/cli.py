@@ -183,6 +183,14 @@ def main(argv=None) -> int:
     )
     ctx = CommandContext(mesh=mesh, minimizer=minimizer, stepper=minimizer.stepper)
 
+    # pre-plan padded capacities over the full known recipe so the jitted
+    # blocks trace once per process (runtime/capacity_plan.py)
+    from membrane_solver_tpu.runtime.capacity_plan import plan_for_instructions
+
+    minimizer.capacity_floors = plan_for_instructions(
+        mesh, list(args.instructions) + list(mesh.instructions or [])
+    )
+
     if args.properties or args.radius_of_gyration:
         execute_command_line(ctx, "properties")
         return 0

@@ -179,11 +179,16 @@ def compile_state(
     mesh: Mesh,
     min_vertex_capacity: int = 8,
     headroom: int = 1,
+    min_caps: "dict | None" = None,
 ) -> CompiledProblem:
     """Compile a host mesh into padded device arrays + a static spec.
 
     ``headroom`` extra doublings are allocated beyond the next power of two so
-    an imminent refinement does not force a recompile.
+    an imminent refinement does not force a recompile.  ``min_caps``
+    (``{"nv": .., "ne": .., "nf": ..}``) are capacity FLOORS from recipe
+    pre-planning (runtime/capacity_plan.py): padding straight to the
+    recipe's final capacity makes every jitted block trace exactly once
+    per process instead of once per refinement epoch.
     """
     mesh.build_connectivity_maps()
     vertex_ids = mesh.vertex_ids
@@ -205,9 +210,12 @@ def compile_state(
     nb = len(body_items)
 
     scale = 2**max(0, headroom - 1)
-    nv_cap = capacity_for(nv * scale, minimum=min_vertex_capacity)
-    nf_cap = capacity_for(max(nf, 1) * scale)
-    ne_cap = capacity_for(max(ne, 1) * scale)
+    floors = min_caps or {}
+    nv_cap = capacity_for(
+        max(nv * scale, floors.get("nv", 0)), minimum=min_vertex_capacity
+    )
+    nf_cap = capacity_for(max(nf * scale, 1, floors.get("nf", 0)))
+    ne_cap = capacity_for(max(ne * scale, 1, floors.get("ne", 0)))
     nb_cap = capacity_for(max(nb, 1), minimum=1)
 
     gp = mesh.global_parameters

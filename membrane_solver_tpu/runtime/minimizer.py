@@ -78,6 +78,10 @@ class Minimizer:
         self._problem: Optional[CompiledProblem] = None
         self._stepper_state = None
         self._params_fingerprint = None
+        # recipe pre-planned capacity floors (runtime/capacity_plan.py):
+        # when set, every compile_state pads straight to the recipe's
+        # final capacity so jitted blocks trace once per process
+        self.capacity_floors: Optional[dict] = None
 
     # ------------------------------------------------------------------
     # compilation plumbing
@@ -115,7 +119,13 @@ class Minimizer:
         from membrane_solver_tpu.device.state import capacity_for
         from membrane_solver_tpu.utils.placement import apply_placement
 
-        apply_placement(capacity_for(len(self.mesh.vertices)))
+        # placement must see the PLANNED capacity, not just the current
+        # size: a recipe that ends large would otherwise start on CPU and
+        # migrate backends (forcing a retrace) mid-run
+        floors = self.capacity_floors or {}
+        apply_placement(
+            capacity_for(max(len(self.mesh.vertices), floors.get("nv", 0)))
+        )
         fp = self._fingerprint_params()
         # Host mesh mutated in place (vertex_average, set-commands, manual
         # edits) or swapped: the device state is stale — drop it WITHOUT
@@ -131,7 +141,7 @@ class Minimizer:
             if self._problem is not None:
                 # keep device-evolved state: sync host first
                 writeback(self._problem, self.mesh)
-            self._problem = compile_state(self.mesh)
+            self._problem = compile_state(self.mesh, min_caps=self.capacity_floors)
             # module lists can be overridden relative to the mesh
             import dataclasses as _dc
 

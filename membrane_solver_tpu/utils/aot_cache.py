@@ -60,15 +60,20 @@ _SRC_HASH: str | None = None
 
 
 def enabled() -> bool:
-    # Default OFF: on XLA:CPU, executing a module that went through an
-    # export/serialize/deserialize round-trip intermittently never returns
-    # (reproduced on the spherical_cap minimize block: the same module runs
-    # fine when replayed in the exporting process, and hangs — identical
-    # bytes, identical arguments — when replayed from a fresh process).
-    # The persistent XLA compilation cache already removes compile time
-    # across processes; per-process *tracing* is instead amortized by
-    # in-process warm runs (tools/suite.py) and single-capacity planning.
-    return os.environ.get("MEMBRANE_SOLVER_AOT_CACHE", "0") in {"1", "true", "yes"}
+    # Default ON (round 4).  The round-2/3 "deserialized module
+    # intermittently never returns" hangs are now attributed to the
+    # persistent XLA cache serving STALE-HOST AOT entries during the
+    # replay's compile: the cache directory was keyed by /proc/cpuinfo,
+    # which goes stale across live VM migration, so post-migration
+    # processes executed code compiled for the previous host's tuning
+    # (same hazard class as the documented SIGSEGV/SIGILL loads).  With
+    # the cache keyed by runtime CPUID (utils/cpu_identity.py) the replay
+    # path is clean: 10+ consecutive fresh-process replays of the
+    # spherical_cap and cube lanes, bit-identical energies, incl. a
+    # validated pass (MEMBRANE_SOLVER_AOT_VALIDATE=1).  Set
+    # MEMBRANE_SOLVER_AOT_CACHE=0 to disable (the test suite does: it
+    # creates hundreds of one-shot signatures).
+    return os.environ.get("MEMBRANE_SOLVER_AOT_CACHE", "1") in {"1", "true", "yes"}
 
 
 def _validate() -> bool:
@@ -175,6 +180,16 @@ def decode_structure(desc: dict, leaves: list) -> Any:
     return obj
 
 
+def _multi_device(leaf) -> bool:
+    sharding = getattr(leaf, "sharding", None)
+    if sharding is None:
+        return False
+    try:
+        return len(sharding.device_set) > 1
+    except Exception:
+        return False
+
+
 def _aval_key(leaves) -> str:
     parts = []
     for leaf in leaves:
@@ -182,6 +197,12 @@ def _aval_key(leaves) -> str:
         dtype = getattr(leaf, "dtype", None)
         if shape is None:
             parts.append(f"py:{type(leaf).__name__}:{leaf!r}")
+        elif _multi_device(leaf):
+            # sharded input: keep a distinct signature so a single-device
+            # cache entry is never replayed with (and never recorded for)
+            # multi-device arguments — replay would silently drop the
+            # sharding the caller laid out
+            parts.append(f"{tuple(shape)}:{dtype}@sharded")
         else:
             parts.append(f"{tuple(shape)}:{dtype}")
     return "|".join(parts)
@@ -210,6 +231,12 @@ def aot_wrap(name: str, static_key: str, jitted: Callable) -> Callable:
                 out_leaves = ent["fn"](*leaves)
                 return decode_structure(ent["out"], list(out_leaves))
             return jitted(*args)  # fallback signature
+        if any(_multi_device(leaf) for leaf in leaves):
+            # multi-device programs never touch the export cache (the
+            # sweep/TP paths own their shardings; a replayed module would
+            # re-lay the computation out single-device)
+            entries[akey] = {"fallback": True}
+            return jitted(*args)
 
         digest = hashlib.sha256(
             "|".join(

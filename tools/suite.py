@@ -354,6 +354,9 @@ def run_scenario(name: str, quiet: bool = True):
 
     mesh, instructions = load_scenario(name)
     minim = Minimizer(mesh, quiet=quiet)
+    from membrane_solver_tpu.runtime.capacity_plan import plan_for_instructions
+
+    minim.capacity_floors = plan_for_instructions(mesh, instructions)
     ctx = CommandContext(mesh=mesh, minimizer=minim)
     t0 = time.perf_counter()
     for line in instructions:
