@@ -438,6 +438,7 @@ _STATIC_PARAM_KEYS: Tuple[str, ...] = (
     "shape_scaffold_rejected_step_fallback",
     "rim_slope_match_mode",
     "tilt_kkt_projection_during_relaxation",
+    "tilt_mass_mode",
     "tilt_mass_mode_in",
     "tilt_mass_mode_out",
     "rim_slope_match_kkt_rows",

@@ -16,16 +16,20 @@ def _isolated_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("MEMBRANE_SOLVER_PROBE_CACHE", str(tmp_path / "probe.json"))
 
 
+# Budgets here are generous (120 s for a `python -c print`) on purpose: the
+# suite can run while XLA saturates every core (bench/suite in a sibling
+# process), and a loaded host has been observed taking >30 s just to start
+# an interpreter — the budget must only bound a genuine hang.
 def test_probe_alive_via_fake_backend(monkeypatch):
     monkeypatch.setenv("MEMBRANE_SOLVER_PROBE_CODE", "print('BACKEND tpu 1')")
     log: list[str] = []
-    assert backend_probe.probe_accelerator(budget_s=30, transcript=log) is True
+    assert backend_probe.probe_accelerator(budget_s=120, transcript=log) is True
     assert any("alive=True" in line for line in log)
 
 
 def test_probe_dead_cpu_only_backend(monkeypatch):
     monkeypatch.setenv("MEMBRANE_SOLVER_PROBE_CODE", "print('BACKEND cpu 1')")
-    assert backend_probe.probe_accelerator(budget_s=30, max_attempts=1) is False
+    assert backend_probe.probe_accelerator(budget_s=120, max_attempts=1) is False
 
 
 def test_probe_retries_clean_failures(monkeypatch):
@@ -33,7 +37,7 @@ def test_probe_retries_clean_failures(monkeypatch):
     log: list[str] = []
     assert (
         backend_probe.probe_accelerator(
-            budget_s=30, max_attempts=3, retry_backoff_s=0.1, transcript=log
+            budget_s=120, max_attempts=3, retry_backoff_s=0.1, transcript=log
         )
         is False
     )
@@ -60,11 +64,11 @@ def test_probe_abandons_hung_attempt_without_kill(monkeypatch):
 
 def test_probe_cache_roundtrip(monkeypatch):
     monkeypatch.setenv("MEMBRANE_SOLVER_PROBE_CODE", "print('BACKEND tpu 1')")
-    assert backend_probe.probe_accelerator(budget_s=30) is True
+    assert backend_probe.probe_accelerator(budget_s=120) is True
     # cached verdict served without consulting the (now-broken) probe code
     monkeypatch.setenv("MEMBRANE_SOLVER_PROBE_CODE", "raise SystemExit(1)")
     log: list[str] = []
-    assert backend_probe.probe_accelerator(budget_s=30, transcript=log) is True
+    assert backend_probe.probe_accelerator(budget_s=120, transcript=log) is True
     assert any("cached verdict" in line for line in log)
 
 
@@ -74,7 +78,7 @@ def test_probe_cache_expired_dead_verdict(monkeypatch, tmp_path):
         json.dumps({"ts": time.time() - backend_probe.DEAD_TTL_S - 1, "alive": False})
     )
     monkeypatch.setenv("MEMBRANE_SOLVER_PROBE_CODE", "print('BACKEND tpu 1')")
-    assert backend_probe.probe_accelerator(budget_s=30) is True
+    assert backend_probe.probe_accelerator(budget_s=120) is True
 
 
 def test_cpu_identity_uses_runtime_cpuid():

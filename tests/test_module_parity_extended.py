@@ -96,8 +96,14 @@ def _compile(lane, modules, seed_fields):
     from membrane_solver_tpu.device.state import build_params
 
     if lane.startswith("kozlov"):
-        mesh = parse_geometry(load_data(KOZLOV))
-        mesh.global_parameters.update(KOZLOV_GP)
+        from tools.record_module_parity import CONN_GP, SCAFFOLD, SCAFFOLD_GP
+
+        src, gp = {
+            "kozlov_scaffold": (SCAFFOLD, SCAFFOLD_GP),
+            "kozlov_conn": (KOZLOV, CONN_GP),
+        }.get(lane, (KOZLOV, KOZLOV_GP))
+        mesh = parse_geometry(load_data(src))
+        mesh.global_parameters.update(gp)
         _tag_disk_targets(mesh)
         # same seeded jitter as the recorder: perturb off the flat |K| = 0
         # kink state so curvature gradients are well-defined
@@ -208,3 +214,50 @@ def cube_body_compiled():
 def test_cube_body_module_parity(cube_body_compiled, name):
     p, params = cube_body_compiled
     _check(p, params, "cube_body", name)
+
+
+# --- Leaflet-trio BRANCH parity (VERDICT r3 item 5): the shared
+# tilt_leaflet / tilt_smoothness_leaflet / bending_tilt_leaflet
+# implementations evaluated on lane states that flip their leaflet-specific
+# branches, vs fixtures recorded from the reference on the same states:
+#
+# kozlov_scaffold — the reference's physical-edge scaffold release fixture:
+#   leaflet_out absence masks (presets [disk], mode triangles),
+#   tilt_mass_mode_in=consistent, assume-J0 presets + flat-reference base
+#   term, inner-scaffold trace rows (reference tilt_leaflet.py:44-57,
+#   bending_tilt_leaflet.py:170-225).
+# kozlov_conn — the R12 lane under tilt_transport_model=connection_v1 and
+#   tilt_mass_mode=consistent (reference tilt_smoothness.py:40-48,143-148;
+#   tilt_params.py:15-24).
+
+SCAFFOLD_MODULES = [
+    "tilt_in",
+    "tilt_out",
+    "tilt_smoothness_in",
+    "tilt_smoothness_out",
+    "bending_tilt_in",
+    "bending_tilt_out",
+]
+CONN_MODULES = ["tilt_in", "tilt_out", "tilt_smoothness_in", "tilt_smoothness_out"]
+
+
+@pytest.fixture(scope="module")
+def scaffold_compiled():
+    return _compile("kozlov_scaffold", SCAFFOLD_MODULES, ["tin", "tout"])
+
+
+@pytest.fixture(scope="module")
+def conn_compiled():
+    return _compile("kozlov_conn", CONN_MODULES, ["tin", "tout"])
+
+
+@pytest.mark.parametrize("name", SCAFFOLD_MODULES)
+def test_scaffold_branch_module_parity(scaffold_compiled, name):
+    p, params = scaffold_compiled
+    _check(p, params, "kozlov_scaffold", name)
+
+
+@pytest.mark.parametrize("name", CONN_MODULES)
+def test_connection_transport_module_parity(conn_compiled, name):
+    p, params = conn_compiled
+    _check(p, params, "kozlov_conn", name)

@@ -120,6 +120,51 @@ def cube_body_dict() -> dict:
 
 CUBE_BODY_MODULES = ["body_area_penalty"]
 
+# --- Branch-variant lanes for the shared leaflet trio (VERDICT r3 item 5:
+# per-leaflet parity fixtures "via lane states").  The trio's default-path
+# math is pinned by the _in/_out delegates on the `kozlov` lane above;
+# these two lanes pin the leaflet-specific BRANCHES of the shared
+# implementations against the reference:
+#
+# `kozlov_scaffold` — the reference's physical-edge scaffold release
+# fixture (tests/fixtures/...scaffold_gapfill_eps005_n3_release.yaml):
+# leaflet_out_absent_presets=[disk] absence masks (mode=triangles),
+# tilt_mass_mode_in=consistent, bending_tilt_assume_J0_presets_in=[disk],
+# bending_tilt_base_term_reference_mode=flat_reference_zero_J0, and the
+# inner-scaffold trace-row machinery — all active during module isolation.
+#
+# `kozlov_conn` — the R12 lane re-recorded under
+# tilt_transport_model=connection_v1 (parallel-transported smoothness,
+# reference tilt_smoothness.py:40-48,143-148) + tilt_mass_mode=consistent
+# for both leaflets (reference tilt_params.py:15-24).
+SCAFFOLD = os.path.join(
+    REF,
+    "tests",
+    "fixtures",
+    "kozlov_1disk_3d_free_disk_theory_parity_physical_edge_scaffold_gapfill_eps005_n3_release.yaml",
+)
+SCAFFOLD_GP = {
+    # the fixture's own gp carries the branch switches; only the smoothness
+    # moduli (absent there) need switching on for the smoothness modules
+    "tilt_smoothness_modulus_in": 1.1,
+    "tilt_smoothness_modulus_out": 1.2,
+}
+SCAFFOLD_MODULES = [
+    "tilt_in",
+    "tilt_out",
+    "tilt_smoothness_in",
+    "tilt_smoothness_out",
+    "bending_tilt_in",
+    "bending_tilt_out",
+]
+
+CONN_GP = dict(
+    KOZLOV_GP,
+    tilt_transport_model="connection_v1",
+    tilt_mass_mode="consistent",
+)
+CONN_MODULES = ["tilt_in", "tilt_out", "tilt_smoothness_in", "tilt_smoothness_out"]
+
 FLAT_GP = {
     "surface_tension": 0.55,
     "jordan_stiffness": 2.0,
@@ -250,18 +295,27 @@ def record_lane(lane, mesh_src, gp_overrides, modules, *, leaflet, vertex_field)
         print(f"{lane}/{name}: E={E:.10f}" + (f" E_tilt={out.get('E_tilt'):.10f}" if "E_tilt" in out else ""))
 
 
-def main() -> None:
+LANE_SPECS = {
+    "kozlov": (KOZLOV, KOZLOV_GP, KOZLOV_MODULES, True, False),
+    "kozlov_vertex": (KOZLOV, KOZLOV_GP, VERTEX_MODULES, False, True),
+    "flat": (flat_lane_dict, {}, FLAT_MODULES, False, False),
+    "cube_body": (cube_body_dict, {}, CUBE_BODY_MODULES, False, False),
+    "kozlov_scaffold": (SCAFFOLD, SCAFFOLD_GP, SCAFFOLD_MODULES, True, False),
+    "kozlov_conn": (KOZLOV, CONN_GP, CONN_MODULES, True, False),
+}
+
+
+def main(argv=None) -> None:
     if not os.path.isdir(REF):
         print("reference not mounted; skipping")
         return
     OUTDIR.mkdir(parents=True, exist_ok=True)
-    record_lane("kozlov", KOZLOV, KOZLOV_GP, KOZLOV_MODULES, leaflet=True, vertex_field=False)
-    record_lane("kozlov_vertex", KOZLOV, KOZLOV_GP, VERTEX_MODULES, leaflet=False, vertex_field=True)
-    record_lane("flat", flat_lane_dict(), {}, FLAT_MODULES, leaflet=False, vertex_field=False)
-    record_lane(
-        "cube_body", cube_body_dict(), {}, CUBE_BODY_MODULES,
-        leaflet=False, vertex_field=False,
-    )
+    names = (argv if argv is not None else sys.argv[1:]) or list(LANE_SPECS)
+    for name in names:
+        src, gp, modules, leaflet, vertex_field = LANE_SPECS[name]
+        if callable(src):
+            src = src()
+        record_lane(name, src, gp, modules, leaflet=leaflet, vertex_field=vertex_field)
     print("done")
 
 

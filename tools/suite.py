@@ -366,6 +366,64 @@ def run_scenario(name: str, quiet: bool = True):
     return elapsed, float(ctx.minimizer.compute_energy())
 
 
+COLD_RESULTS = REPO / "benchmarks" / "cold_process.json"
+
+
+def run_cold(names: list[str], platform: str | None, runs: int) -> dict:
+    """Cold-process protocol: each run executes the scenario in a FRESH
+    subprocess and the reported time is the whole process wall-clock —
+    interpreter start, imports, cache loads, everything.  This is the
+    reference's own measurement protocol (its ``benchmarks/benchmark_*.py``
+    spawn ``main.py`` per run, e.g. benchmark_cube_good.py:26-56), so the
+    numbers are directly comparable to the reference's same-host averages
+    in BASELINE.md.  The in-process timings printed by the default suite
+    mode measure the warm steady state instead; README reports both."""
+    import subprocess
+    import time as _time
+
+    out = {}
+    for name in names:
+        code = (
+            f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+            + (
+                f"import jax; jax.config.update('jax_platforms', {platform!r})\n"
+                if platform
+                else ""
+            )
+            + f"from tools.suite import run_scenario\n"
+            f"elapsed, energy = run_scenario({name!r})\n"
+            f"print('COLD_E', energy)\n"
+        )
+        best = float("inf")
+        energy = None
+        for _ in range(max(runs, 1)):
+            t0 = _time.perf_counter()
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=3600,
+            )
+            dt = _time.perf_counter() - t0
+            if proc.returncode != 0:
+                print(f"{name:22s} FAILED:\n{proc.stdout[-800:]}\n{proc.stderr[-800:]}")
+                break
+            best = min(best, dt)
+            for line in proc.stdout.splitlines():
+                if line.startswith("COLD_E"):
+                    energy = float(line.split()[1])
+        else:
+            out[name] = {
+                "cold_seconds": round(best, 4),
+                "energy": energy,
+                "platform": platform or "default",
+                "recorded": time.strftime("%Y-%m-%d"),
+            }
+            print(f"{name:22s} {best:8.3f}s cold-process  E={energy:.10g}")
+    merged = json.loads(COLD_RESULTS.read_text()) if COLD_RESULTS.exists() else {}
+    merged.update(out)
+    COLD_RESULTS.write_text(json.dumps(merged, indent=1) + "\n")
+    return out
+
+
 def load_history() -> dict:
     if RESULTS.exists():
         return json.loads(RESULTS.read_text())
@@ -391,12 +449,12 @@ def main(argv=None) -> int:
                     help="runs per scenario; the best time is recorded "
                     "(run 1 pays jit tracing, later runs measure the "
                     "steady-state the solver was designed for)")
+    ap.add_argument("--cold", action="store_true",
+                    help="cold-process protocol: fresh subprocess per run, "
+                    "whole-process wall-clock (the reference's own "
+                    "benchmark() methodology); writes "
+                    "benchmarks/cold_process.json")
     args = ap.parse_args(argv)
-
-    import jax
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
 
     known = set(SCENARIOS) | set(RUNNER_SCENARIOS)
     names = args.names or list(SCENARIOS) + list(RUNNER_SCENARIOS)
@@ -409,6 +467,14 @@ def main(argv=None) -> int:
         if skipped:
             print(f"reference not mounted; skipping {skipped}")
         names = [n for n in names if n not in skipped]
+    if args.cold:
+        run_cold(names, args.platform, args.runs)
+        return 0
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     history = load_history()
     regressions = []
