@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Per-step Armijo-accept trace of the physical-edge g10 window, both solvers.
+
+The i50/i60/near_edge physical-edge lanes reproduce thetaB exactly but
+carry a ~1.6e-2 final-energy residual that the acceptance test pins at
+2.5e-2 (tests/test_theory_parity_acceptance.py).  The docstring there
+attributes it to "slightly different Armijo sequences" in the pre-refine
+g10 window.  This tool records, for both solvers, the accepted step size
+and accepted energy after every outer iteration of that window, so the
+FIRST divergent accept can be located and the residual either fixed or
+attributed precisely.
+
+Reference side: wraps `stepper.step` (purely observational — the
+reference's own per-step print path clears curvature caches and
+re-evaluates energy, which PERTURBS its trajectory, reference
+runtime/minimizer.py:1405-1414; the wrap records only the values the
+minimizer already computed).  Repo side: runs the same window as g1
+singles recording step size + clean energy (pure functions, probing is
+free), plus an optional block-equivalence self-check.
+
+Usage:
+    python tools/trace_physical_edge_window.py i50_interface --steps 10
+    python tools/trace_physical_edge_window.py i50_interface --selfcheck
+
+Writes benchmarks/physical_edge_window_<lane>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REF = Path("/root/reference")
+FIXTURES = REF / "tests" / "fixtures"
+
+_REF_CODE = """
+import json, sys
+sys.path.insert(0, {ref!r})
+from pathlib import Path
+from tools.reproduce_theory_parity import (
+    _build_context,
+    _stabilize_rim_radius_for_parity,
+    _activate_local_outer_shell_for_parity,
+)
+from commands.executor import execute_command_line
+
+ctx = _build_context(Path({fixture!r}))
+_stabilize_rim_radius_for_parity(ctx.mesh)
+ctx.mesh._parity_outer_shell_geometry = _activate_local_outer_shell_for_parity(ctx.mesh)
+
+trace = []
+orig_step = ctx.minimizer.stepper.step
+
+def recording_step(mesh, grad, step_size_in, energy_fn, **kw):
+    ok, new_step, E = orig_step(mesh, grad, step_size_in, energy_fn, **kw)
+    trace.append({{
+        "ok": bool(ok),
+        "step_in": float(step_size_in),
+        "step_out": float(new_step),
+        "accepted_E": float(E),
+    }})
+    return ok, new_step, E
+
+ctx.minimizer.stepper.step = recording_step
+execute_command_line(ctx, "g" + str({steps}))
+print("WINDOW_TRACE " + json.dumps(trace))
+"""
+
+_REPO_CODE = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from pathlib import Path
+from tools.reproduce_theory_parity import (
+    build_context, stabilize_rim_radius, activate_physical_edge_bump,
+)
+from membrane_solver_tpu.commands.executor import execute_command_line
+
+ctx = build_context(Path({fixture!r}))
+stabilize_rim_radius(ctx.mesh)
+activate_physical_edge_bump(ctx.mesh)
+
+trace = []
+if {selfcheck!r}:
+    execute_command_line(ctx, "g" + str({steps}))
+    ctx.sync_mesh()
+    trace.append({{"block_final_E": float(ctx.minimizer.compute_energy())}})
+else:
+    for i in range({steps}):
+        execute_command_line(ctx, "g1")
+        ctx.sync_mesh()
+        trace.append({{
+            "step_out": float(ctx.minimizer.step_size),
+            "clean_E": float(ctx.minimizer.compute_energy()),
+        }})
+print("WINDOW_TRACE " + json.dumps(trace))
+"""
+
+
+def _run(code: str, timeout: int = 3600) -> list:
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("WINDOW_TRACE "):
+            return json.loads(line[len("WINDOW_TRACE "):])
+    raise RuntimeError(
+        f"trace subprocess failed (rc {out.returncode}):\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("lane", nargs="?", default="i50_interface",
+                    choices=["i50_interface", "i60_interface", "near_edge_v1"])
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--selfcheck", action="store_true",
+                    help="repo side only: compare gN block vs g1 singles")
+    args = ap.parse_args(argv)
+
+    fixture = str(
+        FIXTURES / f"kozlov_1disk_3d_free_disk_theory_parity_{args.lane}.yaml"
+    )
+    out = {"lane": args.lane, "steps": args.steps, "fixture": fixture}
+
+    repo_singles = _run(_REPO_CODE.format(
+        repo=str(REPO), fixture=fixture, steps=args.steps, selfcheck=False))
+    out["repo"] = repo_singles
+    if args.selfcheck:
+        block = _run(_REPO_CODE.format(
+            repo=str(REPO), fixture=fixture, steps=args.steps, selfcheck=True))
+        out["repo_block"] = block
+        print(f"repo g1-singles final E: {repo_singles[-1]['clean_E']!r}")
+        print(f"repo g{args.steps}-block final E: {block[0]['block_final_E']!r}")
+
+    if not args.skip_reference and REF.exists():
+        ref = _run(_REF_CODE.format(
+            ref=str(REF), fixture=fixture, steps=args.steps))
+        out["reference"] = ref
+        print(f"{'i':>3} {'ref step_out':>14} {'repo step_out':>14} "
+              f"{'ref accepted_E':>18} {'repo clean_E':>18}")
+        for i in range(min(len(ref), len(repo_singles))):
+            print(f"{i:>3} {ref[i]['step_out']:>14.6e} "
+                  f"{repo_singles[i]['step_out']:>14.6e} "
+                  f"{ref[i]['accepted_E']:>18.12f} "
+                  f"{repo_singles[i]['clean_E']:>18.12f}")
+
+    dest = REPO / "benchmarks" / f"physical_edge_window_{args.lane}.json"
+    dest.write_text(json.dumps(out, indent=1))
+    print(f"wrote {dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
