@@ -58,7 +58,10 @@ def _trace(lane: dict, steps: int, platform: str | None, x64: bool) -> list[floa
 import json, sys
 sys.path.insert(0, {str(REPO)!r})
 import jax
-if {platform!r} != "None":
+# "tpu" means bench.py's TPU mode: leave the platform stack at its default
+# (the tunnel's plugin discovery picks the TPU); forcing jax_platforms=tpu
+# bypasses that discovery and aborts with "No jellyfish device found".
+if {platform!r} not in ("None", "tpu"):
     jax.config.update("jax_platforms", {platform!r})
 from membrane_solver_tpu import Minimizer, load_data, parse_geometry
 lane = {json.dumps(lane)}
@@ -119,6 +122,13 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     names = args.names or [n for n in PROBE_LANES if n != "kozlov_L4"]
     platform = None if args.platform in {"None", "default"} else args.platform
+    if platform == "tpu":
+        from membrane_solver_tpu.utils.backend_probe import probe_accelerator
+
+        if not probe_accelerator(budget_s=120, max_attempts=2):
+            print("accelerator unreachable; refusing to record a 'tpu' leg "
+                  "that would silently fall back")
+            return 3
 
     results = json.loads(OUT.read_text()) if OUT.exists() else {}
     for name in names:

@@ -80,24 +80,41 @@ from tools.reproduce_theory_parity import (
     build_context, stabilize_rim_radius, activate_physical_edge_bump,
 )
 from membrane_solver_tpu.commands.executor import execute_command_line
+import membrane_solver_tpu.runtime.jit_core as jc
+import membrane_solver_tpu.runtime.minimizer as mz
+
+# Purely observational per-block stats recorder.  On theta-scan lanes the
+# host loop already drives the jitted block one step at a time
+# (minimizer.py chunk = min(chunk, every - ...)), so each block call IS one
+# outer iteration and stats.accepted_energy is the same quantity the
+# reference's stepper.step returns (ls.energy == reference line_search
+# accepted trial energy).
+trace = []
+_orig_block = jc.minimize_block
+
+def _recording_block(spec, options):
+    blk = _orig_block(spec, options)
+    def call(*a, **k):
+        st, ss, stats = blk(*a, **k)
+        if int(stats.iterations) > 0:
+            trace.append({{
+                "iters": int(stats.iterations),
+                "accepted_E": float(stats.accepted_energy),
+                "step_out": float(stats.step_size),
+                "ok": bool(stats.step_success),
+            }})
+        return st, ss, stats
+    return call
+
+jc.minimize_block = _recording_block
+mz.jit_core.minimize_block = _recording_block
 
 ctx = build_context(Path({fixture!r}))
 stabilize_rim_radius(ctx.mesh)
 activate_physical_edge_bump(ctx.mesh)
-
-trace = []
-if {selfcheck!r}:
-    execute_command_line(ctx, "g" + str({steps}))
-    ctx.sync_mesh()
-    trace.append({{"block_final_E": float(ctx.minimizer.compute_energy())}})
-else:
-    for i in range({steps}):
-        execute_command_line(ctx, "g1")
-        ctx.sync_mesh()
-        trace.append({{
-            "step_out": float(ctx.minimizer.step_size),
-            "clean_E": float(ctx.minimizer.compute_energy()),
-        }})
+execute_command_line(ctx, "g" + str({steps}))
+ctx.sync_mesh()
+trace.append({{"block_final_E": float(ctx.minimizer.compute_energy())}})
 print("WINDOW_TRACE " + json.dumps(trace))
 """
 
@@ -121,8 +138,6 @@ def main(argv=None) -> int:
                     choices=["i50_interface", "i60_interface", "near_edge_v1"])
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--skip-reference", action="store_true")
-    ap.add_argument("--selfcheck", action="store_true",
-                    help="repo side only: compare gN block vs g1 singles")
     args = ap.parse_args(argv)
 
     fixture = str(
@@ -130,27 +145,22 @@ def main(argv=None) -> int:
     )
     out = {"lane": args.lane, "steps": args.steps, "fixture": fixture}
 
-    repo_singles = _run(_REPO_CODE.format(
-        repo=str(REPO), fixture=fixture, steps=args.steps, selfcheck=False))
-    out["repo"] = repo_singles
-    if args.selfcheck:
-        block = _run(_REPO_CODE.format(
-            repo=str(REPO), fixture=fixture, steps=args.steps, selfcheck=True))
-        out["repo_block"] = block
-        print(f"repo g1-singles final E: {repo_singles[-1]['clean_E']!r}")
-        print(f"repo g{args.steps}-block final E: {block[0]['block_final_E']!r}")
+    repo_trace = _run(_REPO_CODE.format(
+        repo=str(REPO), fixture=fixture, steps=args.steps))
+    repo_steps = [t for t in repo_trace if "accepted_E" in t]
+    out["repo"] = repo_trace
 
     if not args.skip_reference and REF.exists():
         ref = _run(_REF_CODE.format(
             ref=str(REF), fixture=fixture, steps=args.steps))
         out["reference"] = ref
-        print(f"{'i':>3} {'ref step_out':>14} {'repo step_out':>14} "
-              f"{'ref accepted_E':>18} {'repo clean_E':>18}")
-        for i in range(min(len(ref), len(repo_singles))):
-            print(f"{i:>3} {ref[i]['step_out']:>14.6e} "
-                  f"{repo_singles[i]['step_out']:>14.6e} "
-                  f"{ref[i]['accepted_E']:>18.12f} "
-                  f"{repo_singles[i]['clean_E']:>18.12f}")
+        print(f"{'i':>3} {'ref step_out':>14} {'ref accepted_E':>18} "
+              f"{'repo accepted_E':>18} {'rel dev':>10}")
+        for i in range(min(len(ref), len(repo_steps))):
+            a, b = ref[i]["accepted_E"], repo_steps[i]["accepted_E"]
+            rel = abs(a - b) / max(abs(a), 1e-30)
+            print(f"{i:>3} {ref[i]['step_out']:>14.6e} {a:>18.12f} "
+                  f"{b:>18.12f} {rel:>10.3e}")
 
     dest = REPO / "benchmarks" / f"physical_edge_window_{args.lane}.json"
     dest.write_text(json.dumps(out, indent=1))
