@@ -1007,6 +1007,40 @@ def _minimize_block_impl(
                 options.stepper, grad, ss, topo.fixed_mask, state.positions
             )
 
+            # Reduced-LS baseline semantics (reference line_search.py:288 +
+            # minimizer_helpers._evaluate): energy0 = energy_fn() runs the
+            # reduced relax at the BASE positions *before* the tilt snapshot
+            # is taken, so the (+reduced_steps) tilts persist — they are the
+            # Armijo threshold state, every trial's starting tilts, and the
+            # tilts kept on total failure.  The shape gradient/direction is
+            # NOT recomputed on that state (the reference computes it before
+            # stepper.step).  Scoring projects the tilt fields to the base
+            # tangent planes first (minimizer._projected_energy:581-586).
+            if reduced_ls:
+                _n0 = jnp.asarray(
+                    params.get("line_search_reduced_tilt_inner_steps", 10.0),
+                    jnp.int32,
+                )
+                _ts0 = params.get("tilt_step_size", jnp.asarray(0.1, dtype))
+                _tt0 = params.get("tilt_tol", jnp.asarray(0.0, dtype))
+                ls_base, _r0 = relax_fn(state, topo, params, _n0, _ts0, _tt0)
+                _tg0 = dgeo.triangle_geometry(
+                    ls_base.positions, topo.tri_rows, topo.tri_valid
+                )
+                _nrm0 = dgeo.vertex_normals(
+                    _tg0, topo.tri_rows, topo.tri_valid, ls_base.positions.shape[0]
+                )
+                ls_base = dataclasses.replace(
+                    ls_base,
+                    tilts=dgeo.project_to_tangent(ls_base.tilts, _nrm0),
+                    tilts_in=dgeo.project_to_tangent(ls_base.tilts_in, _nrm0),
+                    tilts_out=dgeo.project_to_tangent(ls_base.tilts_out, _nrm0),
+                )
+                ls_E0 = total(ls_base, topo, params)
+            else:
+                ls_base = state
+                ls_E0 = E
+
             def state_of_trial(p):
                 # Per-trial pipeline (line_search.py:440-448 +
                 # minimizer._projected_energy / _trial_projected_energy):
@@ -1017,7 +1051,9 @@ def _minimize_block_impl(
                 # restored (the baseline state is immutable); the accepted
                 # trial's tilts are kept — this tilt/shape coupling is what
                 # makes shape steps acceptable on tilt-bearing meshes.
-                st = dataclasses.replace(state, positions=p)
+                # Trials start from ls_base (== state unless reduced-LS,
+                # where the baseline carries the energy0 relax's tilts).
+                st = dataclasses.replace(ls_base, positions=p)
                 if enforcer is not None:
                     st = enforcer(st, topo, params, context="minimize")
                     st = tilt_enforcer(st, topo, params)
@@ -1054,11 +1090,11 @@ def _minimize_block_impl(
             )
             ls = armijo_line_search(
                 lambda st: total(st, topo, params),
-                state,
+                ls_base,
                 grad,
                 direction,
                 step_in,
-                E,
+                ls_E0,
                 movable,
                 topo,
                 state_of_trial,
@@ -1085,11 +1121,11 @@ def _minimize_block_impl(
                 def fb_search(_):
                     return armijo_line_search(
                         lambda st: total(st, topo, params),
-                        state,
+                        ls_base,
                         grad,
                         fb_dir,
                         step_in,
-                        E,
+                        ls_E0,
                         movable,
                         topo,
                         state_of_trial,

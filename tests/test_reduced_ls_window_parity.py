@@ -1,0 +1,69 @@
+"""Physical-edge g10 window Armijo parity (reduced-LS baseline semantics).
+
+The reference's reduced-energy line search evaluates ``energy0`` by running
+the bounded tilt relax at the BASE positions and keeps the relaxed tilts
+(reference line_search.py:288 + minimizer_helpers._evaluate) — they become
+the Armijo threshold state, every trial's starting tilts, and the tilts
+kept on total failure.  jit_core reproduces that via ``ls_base``/``ls_E0``
+(runtime/jit_core.py `_minimize_block_impl`).  Getting this wrong flips
+accept/reject decisions in the pre-refine g10 window of the physical-edge
+lanes, which is where the theory-parity final-energy residual lives.
+
+This test regenerates the repo's window trace LIVE (the same per-block
+observational recorder as tools/trace_physical_edge_window.py) and checks
+it against the RECORDED reference column in
+benchmarks/physical_edge_window_i50_interface.json:
+
+* the Armijo accept/reject pattern must match the reference step for step
+  (with the old pre-relax baseline it read TTTTTTFTTT vs the reference's
+  TFFFFTTTTT);
+* per-step accepted energies must track within 5e-4 relative (measured
+  max 3.7e-4 at step 9; first step agrees to ~5e-9).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+FIXTURE = REPO / "benchmarks" / "physical_edge_window_i50_interface.json"
+REF_FIXTURES = Path("/root/reference/tests/fixtures")
+
+pytestmark = pytest.mark.skipif(
+    not REF_FIXTURES.exists(), reason="reference fixtures not mounted"
+)
+
+
+@pytest.mark.slow
+@pytest.mark.acceptance
+def test_i50_window_accept_pattern_matches_reference():
+    recorded = json.loads(FIXTURE.read_text())
+    ref_steps = [t for t in recorded["reference"] if "accepted_E" in t]
+    assert len(ref_steps) == recorded["steps"]
+
+    from tools.trace_physical_edge_window import _REPO_CODE, _run
+
+    lane_fixture = str(
+        REF_FIXTURES
+        / f"kozlov_1disk_3d_free_disk_theory_parity_{recorded['lane']}.yaml"
+    )
+    trace = _run(
+        _REPO_CODE.format(
+            repo=str(REPO), fixture=lane_fixture, steps=recorded["steps"]
+        )
+    )
+    repo_steps = [t for t in trace if "accepted_E" in t]
+    assert len(repo_steps) == len(ref_steps)
+
+    ok_repo = [t["ok"] for t in repo_steps]
+    ok_ref = [t["ok"] for t in ref_steps]
+    assert ok_repo == ok_ref, (ok_repo, ok_ref)
+
+    for i, (a, b) in enumerate(zip(ref_steps, repo_steps)):
+        rel = abs(a["accepted_E"] - b["accepted_E"]) / max(
+            abs(a["accepted_E"]), 1e-30
+        )
+        assert rel <= 5e-4, (i, a["accepted_E"], b["accepted_E"], rel)

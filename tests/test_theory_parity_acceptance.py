@@ -147,10 +147,16 @@ def test_physical_edge_interface_lane(lane):
 
     With those in place the relax trajectory matches the reference
     bit-for-bit through 120 CG iterations (2.8e-18 max tilt delta) and
-    every theta-scan selection agrees on all three lanes; final energies
-    track within ~1.6e-2 (residual accumulates through the pre-refine g10
-    shape steps, where the two outer loops accept slightly different
-    Armijo sequences).
+    every theta-scan selection agrees on all three lanes.  With the
+    reduced-LS baseline semantics in jit_core (energy0 relaxes the BASE
+    tilts and the relaxed state seeds every trial, reference
+    line_search.py:288), the pre-refine g10 window's accept/reject
+    pattern matches the reference step for step
+    (tests/test_reduced_ls_window_parity.py) and final energies track
+    within 1.3e-2 on all three lanes (i50 1.29e-2, i60 0.81e-2,
+    near_edge 1.22e-2, measured 2026-08-18); the remaining residual
+    accumulates in the post-refine g8/g12 segments where the two outer
+    loops' Armijo alphas drift after the first rejected trial.
     """
     from pathlib import Path
 
@@ -182,4 +188,4 @@ def test_physical_edge_interface_lane(lane):
         base["thetaB_value"],
     )
     e = report["metrics"]["final_energy"]
-    assert abs(e - float(base["final_energy"])) <= 2.5e-2
+    assert abs(e - float(base["final_energy"])) <= 1.5e-2

@@ -113,8 +113,7 @@ from tools.reproduce_theory_parity import (
     build_context, stabilize_rim_radius, activate_physical_edge_bump,
 )
 from membrane_solver_tpu.runtime import jit_core
-from membrane_solver_tpu.runtime.params import build_params
-from membrane_solver_tpu.runtime import device_geometry as dgeo
+from membrane_solver_tpu.device.state import build_params
 
 ref = np.load({npz!r})
 meta = json.loads(Path({meta!r}).read_text())
