@@ -333,8 +333,13 @@ def _project_rows(positions, rows, valid, normal, center, radius, preserve, pres
     keep_normal = preserve & preserve_on
     projected = jnp.where(keep_normal[:, None], projected + off_n[:, None] * normal, projected)
     new_pts = jnp.where(valid[:, None], projected, pts)
-    return positions.at[rows].set(
-        jnp.where(valid[:, None], new_pts, positions[rows])
+    # drop padding entries (rows pads with 0): a plain .set would let a
+    # later padding entry write row 0's pre-projection position back,
+    # silently undoing the projection whenever vertex row 0 is pinned
+    nv = positions.shape[0]
+    safe_rows = jnp.where(valid, rows, nv)
+    return positions.at[safe_rows].set(
+        jnp.where(valid[:, None], new_pts, 0.0), mode="drop"
     )
 
 

@@ -210,9 +210,17 @@ def enforce(state, topo, params, context: str = "minimize"):
     proj = pts - dist[:, None] * normals
     new_pts = jnp.where(use[:, None], proj, pts)
     # scatter with .set: duplicate rows resolve to the last write, matching
-    # the reference's sequential per-entity assignment
-    positions = positions.at[rows].set(
-        jnp.where(valid[:, None], new_pts, positions[rows])
+    # the reference's sequential per-entity assignment.  Invalid (padding)
+    # entries must be DROPPED, not routed to row 0: the pad value for rows
+    # is 0, so writing `positions[rows]` back for them would clobber row
+    # 0's projection with its pre-projection position whenever vertex id 0
+    # is pinned (seen on the i50 physical-edge lane: the disk-center
+    # vertex is row 0 and its slide projection was silently undone after
+    # every mesh op, 6e-5 position error -> 7.5e-3 lane energy drift).
+    nv = positions.shape[0]
+    safe_rows = jnp.where(valid, rows, nv)
+    positions = positions.at[safe_rows].set(
+        jnp.where(valid[:, None], new_pts, 0.0), mode="drop"
     )
     return dataclasses.replace(state, positions=positions)
 

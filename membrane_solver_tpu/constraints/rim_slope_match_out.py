@@ -133,6 +133,16 @@ def compile_static(layout):
         projector_mode = str(
             gp.get("rim_slope_match_scaffold_projector_mode") or ""
         ).strip().lower()
+        # Post-refinement the disk ring can outnumber the trace ring (the
+        # refined disk boundary doubles while the free trace ring does not),
+        # so the azimuth matching maps several conditions onto one target
+        # row.  The reference's enforcement loop is sequential
+        # (Gauss-Seidel; rim_slope_match_out.py:201-296), so shared rows see
+        # earlier conditions' updates — the vectorized parallel update is
+        # only equivalent when the pairing is injective.  Record the
+        # sharedness at compile time so enforcement picks the scan form.
+        matched = np.asarray(shells.rim_rows_for_disk)
+        shared_targets = bool(len(np.unique(matched)) != len(matched))
         return (
             "active",
             True,   # has_disk (the disk ring IS the rim ring)
@@ -146,6 +156,7 @@ def compile_static(layout):
             mesh_op_mode,
             projector_mode,
             has_trace,
+            shared_targets,
         )
     if (
         mode
@@ -537,6 +548,15 @@ def _spec_scaffold(spec):
     return bool(flags[8]), str(flags[9]), str(flags[10]), bool(flags[11])
 
 
+def _spec_shared_targets(spec) -> bool:
+    """True when the compiled azimuth pairing maps >1 matching condition onto
+    the same outer-ring row (e.g. a refined disk ring against an unrefined
+    trace ring).  Shared rows make the reference's sequential enforcement
+    loop order-dependent, so the jitted enforcement must use its scan form."""
+    flags = spec.static_of("constraint:rim_slope_match_out", ("inactive",))
+    return flags[0] == "active" and len(flags) > 12 and bool(flags[12])
+
+
 def _theta_targets(tilts_in, positions, topo, params, phi, flags):
     """Per-rim-index theta_disk target (rim_slope_match_out.py:82-101)."""
     has_disk, _interp_outer, local_disk, theta_is_param = flags
@@ -570,6 +590,7 @@ def make_enforce_tilts(spec):
     has_disk, interp_outer, local_disk, theta_is_param = flags
     staggered = _spec_staggered(spec)
     ring_average = _spec_ring_average(spec)
+    sequential = interp_outer or _spec_shared_targets(spec)
 
     disk_targeting = _spec_disk_targeting(spec)
 
@@ -597,7 +618,7 @@ def make_enforce_tilts(spec):
             ok_out = use & ~(fo[row0] | (fo[row1] & second))
             tilts_out = _staggered_enforce_field(
                 tilts_out, row0, row1, w0, w1, r_dir, ok_out, denom, phi,
-                sequential=interp_outer,
+                sequential=sequential,
             )
 
             theta_i = _theta_targets(tilts_in, positions, topo, params, phi, flags)
@@ -614,7 +635,7 @@ def make_enforce_tilts(spec):
                 ok_in = use & ~(fi[row0] | (fi[row1] & second))
                 tilts_in = _staggered_enforce_field(
                     tilts_in, row0, row1, w0, w1, r_dir, ok_in, denom, theta_i - phi,
-                    sequential=interp_outer,
+                    sequential=sequential,
                 )
             return dataclasses.replace(state, tilts_in=tilts_in, tilts_out=tilts_out)
 
@@ -663,6 +684,7 @@ def make_frozen_enforce_tilts(spec):
     staggered = _spec_staggered(spec)
     ring_average = _spec_ring_average(spec)
     disk_targeting = _spec_disk_targeting(spec)
+    sequential = interp_outer or _spec_shared_targets(spec)
 
     def _frozen_theta(tin, fr, params, phi):
         if theta_is_param or not has_disk:
@@ -736,7 +758,7 @@ def make_frozen_enforce_tilts(spec):
             )
             tout = _staggered_enforce_field(
                 tout, row0, row1, w0, w1, r_dir, fr["ok_out"], denom, phi,
-                sequential=interp_outer,
+                sequential=sequential,
             )
             theta_i = _frozen_theta(tin, fr, params, phi)
             if disk_targeting:
@@ -747,7 +769,7 @@ def make_frozen_enforce_tilts(spec):
             else:
                 tin = _staggered_enforce_field(
                     tin, row0, row1, w0, w1, r_dir, fr["ok_in"], denom,
-                    theta_i - phi, sequential=interp_outer,
+                    theta_i - phi, sequential=sequential,
                 )
             return tin, tout
 

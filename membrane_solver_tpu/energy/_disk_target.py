@@ -162,10 +162,14 @@ def disk_target_energy(state, topo, params, *, prefix: str, sfx: str, field: str
     theta = jnp.where(jnp.abs(lam) < 1e-12, theta_linear, theta_bessel)
     theta = jnp.where(jnp.abs(den) < 1e-15, 0.0, theta)
 
-    target = jnp.zeros((n_rows, 3), dtype).at[rows].set(
-        jnp.where(good[:, None], theta[:, None] * r_hat, 0.0)
+    # drop padding entries instead of scattering them to row 0 (the rows
+    # table pads with 0): a plain .set would let a later padding entry
+    # clear row 0's target/flag whenever vertex row 0 is on the disk
+    safe_rows = jnp.where(valid, rows, n_rows)
+    target = jnp.zeros((n_rows, 3), dtype).at[safe_rows].set(
+        jnp.where(good[:, None], theta[:, None] * r_hat, 0.0), mode="drop"
     )
-    on_disk = jnp.zeros((n_rows,), bool).at[rows].set(valid)
+    on_disk = jnp.zeros((n_rows,), bool).at[safe_rows].set(valid, mode="drop")
     tilts = getattr(state, field)
     diff = jnp.where(on_disk[:, None], tilts - target, 0.0)
     diff_sq = jnp.sum(diff * diff, axis=1)

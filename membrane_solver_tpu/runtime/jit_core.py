@@ -21,6 +21,7 @@ which are themselves hand-written backprop).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable, Dict, Tuple
 
@@ -585,6 +586,13 @@ def armijo_line_search(
             def eval_and_decide(_):
                 E_t = energy_of_state(state_of_trial(trial))
                 accept = E_t <= energy0 + LS_C * alpha * slope
+                if os.environ.get("MEMBRANE_DEBUG_LS") == "1":  # trace-time gate
+                    jax.debug.print(
+                        "LS trial alpha={a:.6e} E_t={e:.12f} thresh={t:.12f} "
+                        "accept={ok}",
+                        a=alpha, e=E_t,
+                        t=energy0 + LS_C * alpha * slope, ok=accept,
+                    )
                 return accept, E_t
 
             accept, E_t = jax.lax.cond(

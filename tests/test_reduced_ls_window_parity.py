@@ -52,7 +52,10 @@ def test_i50_window_accept_pattern_matches_reference():
     )
     trace = _run(
         _REPO_CODE.format(
-            repo=str(REPO), fixture=lane_fixture, steps=recorded["steps"]
+            repo=str(REPO),
+            fixture=lane_fixture,
+            steps=recorded["steps"],
+            prefix=tuple(recorded.get("prefix") or ()),
         )
     )
     repo_steps = [t for t in trace if "accepted_E" in t]
@@ -67,3 +70,56 @@ def test_i50_window_accept_pattern_matches_reference():
             abs(a["accepted_E"]), 1e-30
         )
         assert rel <= 5e-4, (i, a["accepted_E"], b["accepted_E"], rel)
+
+
+SEG4_FIXTURE = REPO / "benchmarks" / "physical_edge_window_i50_interface_seg4.json"
+
+
+@pytest.mark.slow
+@pytest.mark.acceptance
+def test_i50_post_refine_g8_window_tracks_reference():
+    """Post-refine g8 window (segment 4 of the protocol, after r/V2/t5e-3).
+
+    Guards two round-4 parity fixes measured by this window:
+
+    * the shared-target sequential enforcement in rim_slope_match_out
+      (post-refine the 24-row disk ring azimuth-matches onto the 12-row
+      trace ring; the parallel update overwrote shared rows and read
+      0.6x the reference's enforced slope — per-step energies diverged
+      to 1.2e-2 within this window);
+    * the pin_to_plane/pin_to_circle padded-scatter drop fix (padding
+      entries wrote row 0's stale position back after every mesh op).
+
+    With both in place the first g8 step matches the reference at 5.8e-5
+    relative and the window stays within 5e-3 (measured max 3.1e-3; one
+    borderline Armijo flip at step 1 accounts for the tail).
+    """
+    recorded = json.loads(SEG4_FIXTURE.read_text())
+    ref_steps = [t for t in recorded["reference"] if "accepted_E" in t]
+
+    from tools.trace_physical_edge_window import _REPO_CODE, _run
+
+    lane_fixture = str(
+        REF_FIXTURES
+        / f"kozlov_1disk_3d_free_disk_theory_parity_{recorded['lane']}.yaml"
+    )
+    trace = _run(
+        _REPO_CODE.format(
+            repo=str(REPO),
+            fixture=lane_fixture,
+            steps=recorded["steps"],
+            prefix=tuple(recorded["prefix"]),
+        )
+    )
+    repo_steps = [t for t in trace if "accepted_E" in t]
+    assert len(repo_steps) == len(ref_steps)
+
+    rel0 = abs(ref_steps[0]["accepted_E"] - repo_steps[0]["accepted_E"]) / abs(
+        ref_steps[0]["accepted_E"]
+    )
+    assert rel0 <= 5e-4, (ref_steps[0], repo_steps[0], rel0)
+    for i, (a, b) in enumerate(zip(ref_steps, repo_steps)):
+        rel = abs(a["accepted_E"] - b["accepted_E"]) / max(
+            abs(a["accepted_E"]), 1e-30
+        )
+        assert rel <= 5e-3, (i, a["accepted_E"], b["accepted_E"], rel)

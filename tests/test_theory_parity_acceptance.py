@@ -152,11 +152,16 @@ def test_physical_edge_interface_lane(lane):
     tilts and the relaxed state seeds every trial, reference
     line_search.py:288), the pre-refine g10 window's accept/reject
     pattern matches the reference step for step
-    (tests/test_reduced_ls_window_parity.py) and final energies track
-    within 1.3e-2 on all three lanes (i50 1.29e-2, i60 0.81e-2,
-    near_edge 1.22e-2, measured 2026-08-18); the remaining residual
-    accumulates in the post-refine g8/g12 segments where the two outer
-    loops' Armijo alphas drift after the first rejected trial.
+    (tests/test_reduced_ls_window_parity.py).  The post-refine residual
+    was then cut 0.8-1.3e-2 -> 1.7-5.2e-3 by two more parity fixes
+    (2026-08-19): the shared-target sequential rim_slope_match_out
+    enforcement (the refined 24-row disk ring azimuth-matches onto the
+    unrefined 12-row trace ring; the parallel update read 0.6x the
+    reference's enforced slope) and the padded-scatter drop fix in
+    pin_to_plane/pin_to_circle (padding entries un-projected vertex row
+    0 after every mesh op).  Final energies now track within 5.2e-3
+    (i50 3.5e-3, i60 1.7e-3, near_edge 5.2e-3); the remaining residual
+    is one borderline Armijo flip at g8 step 1 plus alpha drift in g12.
     """
     from pathlib import Path
 
@@ -188,4 +193,4 @@ def test_physical_edge_interface_lane(lane):
         base["thetaB_value"],
     )
     e = report["metrics"]["final_energy"]
-    assert abs(e - float(base["final_energy"])) <= 1.5e-2
+    assert abs(e - float(base["final_energy"])) <= 7.5e-3

@@ -45,12 +45,23 @@ from tools.reproduce_theory_parity import (
     _build_context,
     _stabilize_rim_radius_for_parity,
     _activate_local_outer_shell_for_parity,
+    _release_parity_physical_edge_bump,
 )
 from commands.executor import execute_command_line
 
 ctx = _build_context(Path({fixture!r}))
 _stabilize_rim_radius_for_parity(ctx.mesh)
 ctx.mesh._parity_outer_shell_geometry = _activate_local_outer_shell_for_parity(ctx.mesh)
+
+# protocol prefix with the parity-activation loop semantics (reference
+# _run_protocol_with_parity_activation:289-296)
+bump_released = False
+for cmd_index, cmd in enumerate({prefix!r}):
+    execute_command_line(ctx, cmd)
+    if cmd_index == 0 and not bump_released:
+        bump_released = _release_parity_physical_edge_bump(ctx.mesh)
+    _stabilize_rim_radius_for_parity(ctx.mesh)
+    ctx.mesh._parity_outer_shell_geometry = _activate_local_outer_shell_for_parity(ctx.mesh)
 
 trace = []
 orig_step = ctx.minimizer.stepper.step
@@ -91,12 +102,13 @@ import membrane_solver_tpu.runtime.minimizer as mz
 # accepted trial energy).
 trace = []
 _orig_block = jc.minimize_block
+_recording = True
 
 def _recording_block(spec, options):
     blk = _orig_block(spec, options)
     def call(*a, **k):
         st, ss, stats = blk(*a, **k)
-        if int(stats.iterations) > 0:
+        if _recording and int(stats.iterations) > 0:
             trace.append({{
                 "iters": int(stats.iterations),
                 "accepted_E": float(stats.accepted_energy),
@@ -112,6 +124,21 @@ mz.jit_core.minimize_block = _recording_block
 ctx = build_context(Path({fixture!r}))
 stabilize_rim_radius(ctx.mesh)
 activate_physical_edge_bump(ctx.mesh)
+
+# protocol prefix with the parity-activation loop (run_protocol semantics);
+# recording only starts with the traced segment
+from tools.reproduce_theory_parity import release_physical_edge_bump
+_recording = False
+bump_released = False
+for cmd_index, cmd in enumerate({prefix!r}):
+    execute_command_line(ctx, cmd)
+    ctx.sync_mesh()
+    if cmd_index == 0 and not bump_released:
+        bump_released = release_physical_edge_bump(ctx.mesh)
+    stabilize_rim_radius(ctx.mesh)
+    activate_physical_edge_bump(ctx.mesh)
+_recording = True
+
 execute_command_line(ctx, "g" + str({steps}))
 ctx.sync_mesh()
 trace.append({{"block_final_E": float(ctx.minimizer.compute_energy())}})
@@ -132,27 +159,42 @@ def _run(code: str, timeout: int = 3600) -> list:
     )
 
 
+PROTOCOL = ("g10", "r", "V2", "t5e-3", "g8", "t2e-3", "g12")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("lane", nargs="?", default="i50_interface",
                     choices=["i50_interface", "i60_interface", "near_edge_v1"])
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="steps to trace (default: the segment's own count)")
+    ap.add_argument("--segment", type=int, default=0,
+                    help="protocol command index to trace (0=g10, 4=g8, "
+                    "6=g12); the commands before it run as an untraced "
+                    "prefix with the parity-activation loop")
     ap.add_argument("--skip-reference", action="store_true")
     args = ap.parse_args(argv)
+
+    seg_cmd = PROTOCOL[args.segment]
+    if not seg_cmd.startswith("g"):
+        raise SystemExit(f"segment {args.segment} ({seg_cmd}) is not a g-command")
+    steps = args.steps if args.steps is not None else int(seg_cmd[1:])
+    prefix = PROTOCOL[: args.segment]
 
     fixture = str(
         FIXTURES / f"kozlov_1disk_3d_free_disk_theory_parity_{args.lane}.yaml"
     )
-    out = {"lane": args.lane, "steps": args.steps, "fixture": fixture}
+    out = {"lane": args.lane, "steps": steps, "segment": args.segment,
+           "prefix": list(prefix), "fixture": fixture}
 
     repo_trace = _run(_REPO_CODE.format(
-        repo=str(REPO), fixture=fixture, steps=args.steps))
+        repo=str(REPO), fixture=fixture, steps=steps, prefix=prefix))
     repo_steps = [t for t in repo_trace if "accepted_E" in t]
     out["repo"] = repo_trace
 
     if not args.skip_reference and REF.exists():
         ref = _run(_REF_CODE.format(
-            ref=str(REF), fixture=fixture, steps=args.steps))
+            ref=str(REF), fixture=fixture, steps=steps, prefix=prefix))
         out["reference"] = ref
         print(f"{'i':>3} {'ref step_out':>14} {'ref accepted_E':>18} "
               f"{'repo accepted_E':>18} {'rel dev':>10}")
@@ -162,7 +204,8 @@ def main(argv=None) -> int:
             print(f"{i:>3} {ref[i]['step_out']:>14.6e} {a:>18.12f} "
                   f"{b:>18.12f} {rel:>10.3e}")
 
-    dest = REPO / "benchmarks" / f"physical_edge_window_{args.lane}.json"
+    seg_tag = "" if args.segment == 0 else f"_seg{args.segment}"
+    dest = REPO / "benchmarks" / f"physical_edge_window_{args.lane}{seg_tag}.json"
     dest.write_text(json.dumps(out, indent=1))
     print(f"wrote {dest}")
     return 0
