@@ -118,7 +118,28 @@ def build_compile_topology(prefix: str, sfx: str):
     return compile_topology
 
 
-def disk_target_energy(state, topo, params, *, prefix: str, sfx: str, field: str):
+def build_compile_static(prefix: str, sfx: str):
+    """Hashable per-compile flags: (has_normal,).
+
+    Mirrors build_compile_topology's normal resolution so jitted energy
+    fns can branch on it in Python (the extras copy is a tracer under jit).
+    """
+
+    def compile_static(layout):
+        gp = layout.mesh.global_parameters
+
+        def get(base):
+            v = gp.get(f"{base}{sfx}")
+            return gp.get(base) if v is None else v
+
+        return (get("tilt_disk_target_normal") is not None,)
+
+    return compile_static
+
+
+def disk_target_energy(
+    state, topo, params, *, prefix: str, sfx: str, field: str, has_normal=None
+):
     dtype = state.positions.dtype
     key = f"energy:{prefix}/rows"
     if key not in topo.extras:
@@ -132,7 +153,13 @@ def disk_target_energy(state, topo, params, *, prefix: str, sfx: str, field: str
     frozen = jax.lax.stop_gradient(state.positions)
     n_rows = frozen.shape[0]
     center = jnp.asarray(x("center"), dtype)
-    if bool(x("has_normal")):
+    # has_normal is a compile-time constant: under jit the extras value is a
+    # tracer and bool(tracer) raises, so make_energy threads it in from the
+    # spec statics (build_compile_static); direct unjitted callers may omit
+    # it and fall back to the concrete extras read.
+    if has_normal is None:
+        has_normal = bool(x("has_normal"))
+    if has_normal:
         normal = jnp.asarray(x("normal"), dtype)
     else:
         pts = frozen[rows]
