@@ -102,8 +102,16 @@ def repl(ctx: CommandContext) -> None:
         readline.set_history_length(int(os.environ.get("MEMBRANE_HISTORY_LENGTH", "500")))
 
         def completer(text, state):
-            names = sorted(set(COMMAND_REGISTRY) | set(ctx.mesh.macros))
-            matches = [n for n in names if n.startswith(text)]
+            from membrane_solver_tpu.commands.completion import (
+                command_line_completions,
+            )
+
+            matches = command_line_completions(
+                text=text,
+                line_buffer=readline.get_line_buffer(),
+                command_names=COMMAND_REGISTRY,
+                macro_names=ctx.mesh.macros,
+            )
             return matches[state] if state < len(matches) else None
 
         readline.set_completer(completer)

@@ -106,20 +106,114 @@ class PrintEntityCommand(Command):
 
 
 class EnergyCommand(Command):
-    """energy — per-module breakdown (with deltas vs a stored reference)."""
+    """energy [breakdown|total|ref|stats] — reference commands/meta.py:84-187.
+
+    Modes:
+      breakdown/details/detail (default) — total + internal/external-work
+        split (modules flagged IS_EXTERNAL_WORK), deltas vs a stored
+        reference, then the per-module lines;
+      ref/reference — store the current total and internal total as the
+        reference for later breakdown deltas;
+      stats/curvature — per-vertex |H| quantile diagnostics (cotan/Meyer
+        mixed-area curvature, boundary rows reported separately);
+      total/sum — just the total;
+      save — repo extension: store the per-module breakdown for per-line
+        deltas.
+    """
+
+    def _external_names(self, context):
+        from membrane_solver_tpu.energy import get_module
+
+        names = getattr(context.minimizer, "energy_module_names", []) or []
+        return {
+            n for n in names if getattr(get_module(n), "IS_EXTERNAL_WORK", False)
+        }
 
     def execute(self, context, args):
+        mode = str(args[0]).lower().strip() if args else "breakdown"
+
+        if mode in {"ref", "reference"}:
+            breakdown = context.minimizer.compute_energy_breakdown()
+            external = self._external_names(context)
+            internal_total = sum(
+                v for n, v in breakdown.items() if n not in external
+            )
+            total = sum(breakdown.values())
+            context.minimizer.energy_ref_total = float(total)
+            context.minimizer.energy_ref_internal = float(internal_total)
+            print(
+                f"Energy reference set: total={total:.10f} "
+                f"internal={internal_total:.10f}"
+            )
+            return
+
+        if mode in {"stats", "curvature"}:
+            import numpy as np
+
+            from membrane_solver_tpu.device import geo as dgeo
+
+            p = context.minimizer.problem()
+            nv = len(context.mesh.vertices)
+            cd = dgeo.curvature_data(
+                p.state.positions, p.topo.tri_rows, p.topo.tri_valid,
+                p.state.positions.shape[0],
+            )
+            k = np.asarray(cd.k_vecs)[:nv]
+            areas = np.asarray(cd.vertex_areas)[:nv]
+            H = np.linalg.norm(k, axis=1) / np.maximum(2.0 * areas, 1e-30)
+            boundary = np.asarray(p.topo.boundary_vertex_mask)[:nv]
+
+            def _stats(name, vals):
+                if vals.size == 0:
+                    print(f"{name}: (no vertices)")
+                    return
+                q = np.quantile(np.asarray(vals, dtype=float),
+                                [0.0, 0.5, 0.9, 0.99, 1.0])
+                print(
+                    f"{name}: min={q[0]:.4e} med={q[1]:.4e} "
+                    f"p90={q[2]:.4e} p99={q[3]:.4e} max={q[4]:.4e}"
+                )
+
+            print("Curvature diagnostics (|H|):")
+            print(f"  vertices: {nv} (boundary {int(boundary.sum())})")
+            _stats("  all", H)
+            if np.any(~boundary):
+                _stats("  interior", H[~boundary])
+            return
+
+        if mode in {"total", "sum"}:
+            print(f"Current Total Energy: {float(context.minimizer.compute_energy()):.10f}")
+            return
+
+        if mode not in {"breakdown", "details", "detail", "save"}:
+            print("Usage: energy [breakdown|total|ref|stats]")
+            return
+
         breakdown = context.minimizer.compute_energy_breakdown()
-        total = sum(breakdown.values())
+        external = self._external_names(context)
+        internal_total = sum(v for n, v in breakdown.items() if n not in external)
+        external_total = sum(v for n, v in breakdown.items() if n in external)
+        total = internal_total + external_total
+        print(f"Current Total Energy: {total:.10f}")
+        if external:
+            print(f"  internal (no sources): {internal_total:.10f}")
+            print(f"  external work (sources): {external_total:.10f}")
+            ref_total = getattr(context.minimizer, "energy_ref_total", None)
+            ref_internal = getattr(context.minimizer, "energy_ref_internal", None)
+            if ref_total is not None:
+                print(f"  Δtotal vs ref: {total - float(ref_total):.10f}")
+            if ref_internal is not None:
+                print(
+                    f"  Δinternal vs ref: "
+                    f"{internal_total - float(ref_internal):.10f}"
+                )
         ref = context.reference_energy
-        print("Energy breakdown:")
         for name, value in breakdown.items():
-            line = f"  {name:30s} {value: .10f}"
+            line = f"  {name}: {value:.10f}"
             if ref and name in ref:
                 line += f"   (delta {value - ref[name]:+.3e})"
             print(line)
-        print(f"  {'TOTAL':30s} {total: .10f}")
-        if args and args[0] == "save":
+        if mode == "save":
             context.reference_energy = dict(breakdown)
 
 

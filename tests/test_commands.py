@@ -112,6 +112,48 @@ def test_energy_breakdown_and_tilt_stats_commands(ctx, capsys):
     assert "tilt_in" in out
 
 
+def test_energy_command_modes(ctx, capsys):
+    """energy total/ref/stats/usage (reference commands/meta.py:84-187)."""
+    execute_command_line(ctx, "energy total")
+    out = capsys.readouterr().out
+    assert "Current Total Energy:" in out
+
+    execute_command_line(ctx, "energy ref")
+    out = capsys.readouterr().out
+    assert "Energy reference set:" in out
+    assert ctx.minimizer.energy_ref_total is not None
+    assert (
+        abs(ctx.minimizer.energy_ref_total - float(ctx.minimizer.compute_energy()))
+        < 1e-9
+    )
+
+    execute_command_line(ctx, "energy stats")
+    out = capsys.readouterr().out
+    assert "Curvature diagnostics" in out
+    assert "p90" in out
+
+    execute_command_line(ctx, "energy bogus_mode")
+    out = capsys.readouterr().out
+    assert "Usage: energy" in out
+
+
+def test_energy_breakdown_external_split(capsys):
+    """Lanes with IS_EXTERNAL_WORK modules report the internal/external
+    split and deltas vs the stored reference (reference meta.py:111-143)."""
+    kmesh = parse_geometry(build("kozlov_1disk"))
+    kctx = CommandContext(mesh=kmesh, minimizer=Minimizer(kmesh, quiet=True))
+    execute_command_line(kctx, "energy ref")
+    capsys.readouterr()
+    execute_command_line(kctx, "energy")
+    out = capsys.readouterr().out
+    if any(
+        "rim_source" in n or "contact" in n
+        for n in kctx.minimizer.energy_module_names
+    ):
+        assert "internal (no sources):" in out
+        assert "vs ref:" in out
+
+
 def test_macro_recursion_guard(ctx):
     ctx.mesh.macros["loop_a"] = "loop_b"
     ctx.mesh.macros["loop_b"] = "loop_a"
