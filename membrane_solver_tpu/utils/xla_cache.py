@@ -8,6 +8,17 @@ for MULTI-DEVICE host-platform executables (the 8-virtual-device tensor-
 parallel minimize block aborted on a warm read even same-host).  Rather
 than risk the crash, multi-device programs never touch the cache: they
 compile fresh per process, which is the test/dryrun scale anyway.
+
+Note on the ``cpu_aot_loader.cc`` "machine type ... doesn't match" /
+"could lead to SIGILL" stderr lines seen on warm same-host cache reads:
+those are SPURIOUS for entries written by this host.  XLA's loader
+compares the full LLVM target-feature string, which includes the tuning
+pseudo-features ``+prefer-no-scatter``/``+prefer-no-gather`` that runtime
+host-CPU detection never reports, so every load of an entry compiled with
+those flags warns even when the ISA feature sets are bit-identical
+(verified by diffing the two lists in the warning).  Genuinely
+mismatched-host entries are excluded by the CPU-identity directory key;
+the warning text alone is not evidence of a stale entry.
 """
 
 from __future__ import annotations

@@ -223,7 +223,7 @@ def run_flat_disk_tilt_mass_mode():
     energies = {}
     for mode in ("lumped", "consistent"):
         report = run_benchmark(refine_level=1, tilt_mass_mode_in=mode)
-        energies[mode] = float(report["mesh"]["total_energy"])
+        energies[mode] = float(report["metrics"]["mesh"]["total_energy"])
     return time.perf_counter() - t0, energies["consistent"]
 
 
