@@ -228,8 +228,11 @@ def run_flat_disk_tilt_mass_mode():
 
 
 def run_free_disk_light():
-    """profile_relax_light macro on the free-disk hard-rim mesh (reference
-    benchmarks/benchmark_kozlov_1disk_3d_profile_hard_rim_free_disk_light.py)."""
+    """profile_relax_light macro on the free-disk hard-rim mesh — covers
+    BOTH reference benchmarks that run this macro on this exact mesh:
+    benchmarks/benchmark_kozlov_1disk_3d_profile_hard_rim_free_disk_light.py
+    (MACRO at :30) and benchmarks/benchmark_profile_relax_light.py:34-36
+    (same yaml default, same execute_command_line protocol)."""
     from membrane_solver_tpu import Minimizer, load_data, parse_geometry
     from membrane_solver_tpu.commands.context import CommandContext
     from membrane_solver_tpu.commands.executor import execute_command_line
