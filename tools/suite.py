@@ -309,10 +309,15 @@ def _hard_rim_protocol(mesh_file):
 
 
 def run_hard_rim_bench():
+    """Flagship hard-rim relaxation protocol on the pinned-disk mesh
+    (reference benchmarks/benchmark_kozlov_1disk_3d_profile_hard_rim.py:
+    43-77); see _hard_rim_protocol."""
     return _hard_rim_protocol("bench_kozlov_1disk_profile_hard_rim_R12.yaml")
 
 
 def run_hard_rim_free_disk_bench():
+    """Same flagship protocol with the disk rim FREE (reference
+    benchmarks/benchmark_kozlov_1disk_3d_profile_hard_rim_free_disk.py)."""
     return _hard_rim_protocol(
         "bench_kozlov_1disk_profile_hard_rim_R12_free_disk.yaml"
     )
