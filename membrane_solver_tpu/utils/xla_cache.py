@@ -9,16 +9,27 @@ parallel minimize block aborted on a warm read even same-host).  Rather
 than risk the crash, multi-device programs never touch the cache: they
 compile fresh per process, which is the test/dryrun scale anyway.
 
+The same instability class also hits COMPILES, not just cache reads: a
+full pytest run once SIGSEGV'd 3/3 times at the first 8-virtual-device
+compile after ~226 tests' executables had accumulated in-process, while
+the identical compile passed standalone (see
+tools/repro_xlacpu_multidevice_crash.py for the recorded investigation).
+The suite's mitigation is the same doctrine: multi-device compiles run
+only in short-lived forked subprocesses
+(tests/test_tensor_parallel.py::run_multidevice_driver).
+
 Note on the ``cpu_aot_loader.cc`` "machine type ... doesn't match" /
 "could lead to SIGILL" stderr lines seen on warm same-host cache reads:
-those are SPURIOUS for entries written by this host.  XLA's loader
-compares the full LLVM target-feature string, which includes the tuning
-pseudo-features ``+prefer-no-scatter``/``+prefer-no-gather`` that runtime
-host-CPU detection never reports, so every load of an entry compiled with
-those flags warns even when the ISA feature sets are bit-identical
-(verified by diffing the two lists in the warning).  Genuinely
-mismatched-host entries are excluded by the CPU-identity directory key;
-the warning text alone is not evidence of a stale entry.
+XLA's loader compares the full LLVM target-feature string, which includes
+the tuning pseudo-features ``+prefer-no-scatter``/``+prefer-no-gather``
+that runtime host-CPU detection never reports.  Treat the warning as
+spurious ONLY when the two feature lists printed in the warning differ
+solely in those tuning pseudo-features — that exact diff was verified for
+this host's same-host entries.  Any other difference means a genuinely
+foreign entry (the CPU-identity directory key should exclude these, but
+the key is a mitigation, not a proof): wipe the cache directory, and use
+``MEMBRANE_SOLVER_AOT_VALIDATE=1`` (utils/aot_cache.py) to force a
+validated recompile-and-compare pass when in doubt.
 """
 
 from __future__ import annotations
