@@ -45,6 +45,22 @@ import jax
 if os.environ.get("MEMBRANE_SOLVER_X64", "1") not in {"0", "false", "no"}:
     jax.config.update("jax_enable_x64", True)
 
+# Matmul precision: full float32 for every dot/matmul/einsum.  On TPU the
+# DEFAULT matmul precision runs f32 contractions as single-pass bfloat16 on
+# the MXU (~8 mantissa bits), which injected ~1e-2 relative error into the
+# KKT projector solves (G @ G.T, lam @ G in jit_core/tilt_relax) and CG
+# coefficient dots — measured as the 2.6e-3 f32-vs-f64 trajectory deviation
+# on the kozlov lane (benchmarks/f32_parity.json r4) versus 4e-5 for the
+# same lane in IEEE f32 on CPU.  This workload's only large MXU matmuls are
+# the one-hot scatter/gathers, which already pin HIGHEST (device/geo.py:128)
+# because one-hot contractions must be exact; everything else is tiny
+# (k x 3N KKT rows, 3-vector dots), so HIGHEST costs nothing measurable.
+# Override with MEMBRANE_SOLVER_MATMUL_PRECISION=default/high/highest.
+jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("MEMBRANE_SOLVER_MATMUL_PRECISION", "highest"),
+)
+
 # Persistent compilation cache: the minimize block recompiles per padded
 # capacity (a refinement ladder hits 3-4 capacities); caching the executables
 # on disk makes every later process start warm.  Disable with

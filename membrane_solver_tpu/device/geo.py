@@ -167,6 +167,17 @@ def p1_shape_gradients(geo: TriangleGeometry) -> jnp.ndarray:
     return jnp.stack([g0, g1, g2], axis=1)
 
 
+def kink_threshold(dtype) -> float:
+    """|K|-kink fallback threshold, above the dtype's cancellation noise.
+
+    Used wherever the mean-curvature direction K/|K| must fall back to the
+    vertex normal near the flat state (directional_norm's JVP and the
+    bending-tilt shape-gradient surrogate's stop-gradient coefficients).
+    See the JVP comment below for the measured noise scales.
+    """
+    return 1e-15 if jnp.dtype(dtype) == jnp.float64 else 1e-5
+
+
 @jax.custom_jvp
 def directional_norm(vecs: jnp.ndarray, fallback_dirs: jnp.ndarray) -> jnp.ndarray:
     """Row norms whose gradient direction falls back to ``fallback_dirs`` at 0.
@@ -186,9 +197,22 @@ def _directional_norm_jvp(primals, tangents):
     vecs, fallback = primals
     dvecs, _dfall = tangents
     mag = jnp.linalg.norm(vecs, axis=-1)
-    use_dir = mag > 1e-15
+    # The kink threshold must sit ABOVE the dtype's cancellation noise:
+    # on a coplanar patch K is a sum of O(1) cotan-weighted terms that
+    # cancel exactly, leaving |K| ~ eps(dtype) * O(1) of pure noise whose
+    # direction is random.  f64 noise ~1e-16 < 1e-15 (the reference's own
+    # threshold, bending.py:155-160).  f32 noise is ~1e-7..1e-6 (measured
+    # on the kozlov flat disk: max 6.4e-8 per-row, 9e-7 at p90 across the
+    # mesh), so 1e-15 routed f32 flat rows through the noise direction and
+    # the shape gradient came out O(1) wrong (2.2 abs on |g|=4.2, round-5
+    # f32-parity investigation).  1e-5 keeps 10x margin above the noise;
+    # genuinely curved rows below it lose nothing — their true K direction
+    # IS the vertex normal (K = 2 H A n_hat) to first order, which is
+    # exactly the fallback.
+    thresh = kink_threshold(vecs.dtype)
+    use_dir = mag > thresh
     direction = jnp.where(
-        use_dir[..., None], vecs / jnp.maximum(mag, 1e-15)[..., None], fallback
+        use_dir[..., None], vecs / jnp.maximum(mag, thresh)[..., None], fallback
     )
     return mag, jnp.sum(direction * dvecs, axis=-1)
 

@@ -238,9 +238,14 @@ def leaflet_bending_tilt_energy(
     sg = jax.lax.stop_gradient
     ratio = jnp.where(xf["safe_vor"] > 1e-15, a_eff_x / xf["safe_vor"], 0.0)
     k_mag = jnp.linalg.norm(xf["k_vecs"], axis=1)
+    # dtype-aware kink threshold: in f32 the flat-state |K| is cancellation
+    # noise ~1e-7..1e-6, so the reference's 1e-15 picked the NOISE direction
+    # for K_dir and the stop-gradient coefficient below injected O(1) error
+    # into the shape gradient (round-5 f32-parity fix; dgeo.kink_threshold)
+    k_thresh = dgeo.kink_threshold(k_mag.dtype)
     k_dir = jnp.where(
-        (k_mag > 1e-15)[:, None],
-        xf["k_vecs"] / jnp.maximum(k_mag, 1e-15)[:, None],
+        (k_mag > k_thresh)[:, None],
+        xf["k_vecs"] / jnp.maximum(k_mag, k_thresh)[:, None],
         xf["vnormals"],
     )
     coef_K = sg((kappa_x * term_v * ratio)[:, None] * k_dir)

@@ -989,8 +989,21 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             d_in, d_out = z_in, z_out
             rz_old = jnp.sum(r_in * z_in) + jnp.sum(r_out * z_out)
 
+            # f32 monotone net (static: dtype known at trace time).  The
+            # f32 throughput mode is THIS framework's extension — the
+            # reference is f64-only — so near the f32 noise floor the CG's
+            # accept-if-not-worse tests (resolution ~|E|*6e-8 per eval) stop
+            # discriminating and the beta-momentum can random-walk the relax
+            # UPHILL (observed +2.08 energy in one 40-iteration relax on the
+            # kozlov lane, round-5 f32-parity investigation).  Track the
+            # best post-refresh state seen and return it if the final state
+            # is worse; in f64 the tracking is skipped entirely so every
+            # recorded 1e-12 parity fixture is untouched.
+            monotone = jnp.dtype(dtype) != jnp.float64
+
             def body(carry):
-                (tin, tout, d_in, d_out, gin, gout, rz_old, E0, gnorm, i, done, nacc, rejected) = carry
+                (tin, tout, d_in, d_out, gin, gout, rz_old, E0, gnorm, i, done, nacc, rejected,
+                 best_in, best_out, best_E) = carry
                 conv = (gnorm == 0.0) | ((tol > 0.0) & (gnorm < tol))
                 accepted, new_in, new_out, E1 = backtrack(tin, tout, d_in, d_out, E0)
                 if cg_fallback_gd:
@@ -1026,6 +1039,7 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 nd_in = z_in + beta * d_in
                 nd_out = z_out + beta * d_out
                 stop = conv | ~accepted | (rz_old == 0.0)
+                upd = take & (E2 < best_E)
                 return (
                     new_in2,
                     new_out2,
@@ -1040,10 +1054,13 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                     done | stop,
                     nacc_new,
                     rejected | (~accepted & ~conv),
+                    jnp.where(upd, new_in2, best_in),
+                    jnp.where(upd, new_out2, best_out),
+                    jnp.where(upd, E2, best_E),
                 )
 
             def cond(carry):
-                (*_rest, i, done, _nacc, _rej) = carry
+                (*_rest, i, done, _nacc, _rej, _bi, _bo, _bE) = carry
                 return (~done) & (i < max_iters)
 
             init = (
@@ -1060,10 +1077,20 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
                 jnp.asarray(False),
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(False),
+                tin,
+                tout,
+                E0,
             )
-            (tin, tout, _di, _do, _gi, _go, _rz, E_last, g_last, _i, _done, nacc, rejected) = (
+            (tin, tout, _di, _do, _gi, _go, _rz, E_last, g_last, _i, _done, nacc, rejected,
+             best_in, best_out, best_E) = (
                 jax.lax.while_loop(cond, body, init)
             )
+            if monotone:
+                # revert to the best accepted state when the CG walked uphill
+                use_best = best_E < E_last
+                tin = jnp.where(use_best, best_in, tin)
+                tout = jnp.where(use_best, best_out, tout)
+                E_last = jnp.where(use_best, best_E, E_last)
 
         if projection_cadence == "per_pass":
             # one refresh for the whole pass (reference :1412-1413),
