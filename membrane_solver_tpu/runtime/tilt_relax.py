@@ -999,7 +999,13 @@ def make_relax_leaflet_tilts(spec: ProblemSpec) -> Callable:
             # best post-refresh state seen and return it if the final state
             # is worse; in f64 the tracking is skipped entirely so every
             # recorded 1e-12 parity fixture is untouched.
-            monotone = jnp.dtype(dtype) != jnp.float64
+            # MEMBRANE_SOLVER_TILT_MONOTONE=0 is a debugging escape hatch to
+            # reproduce the raw (reference-semantics) f32 behavior.
+            import os as _os
+
+            monotone = (jnp.dtype(dtype) != jnp.float64) and _os.environ.get(
+                "MEMBRANE_SOLVER_TILT_MONOTONE", "1"
+            ) != "0"
 
             def body(carry):
                 (tin, tout, d_in, d_out, gin, gout, rz_old, E0, gnorm, i, done, nacc, rejected,

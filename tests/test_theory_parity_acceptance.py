@@ -160,8 +160,20 @@ def test_physical_edge_interface_lane(lane):
     reference's enforced slope) and the padded-scatter drop fix in
     pin_to_plane/pin_to_circle (padding entries un-projected vertex row
     0 after every mesh op).  Final energies now track within 5.2e-3
-    (i50 3.5e-3, i60 1.7e-3, near_edge 5.2e-3); the remaining residual
-    is one borderline Armijo flip at g8 step 1 plus alpha drift in g12.
+    (i50 3.5e-3, i60 1.7e-3, near_edge 5.2e-3).
+
+    The remaining residual was root-caused in round 5 and is UNCLOSABLE
+    without emulating the reference's cache engine (recorded exemption,
+    BASELINE.md): every semantic stage is bit-identical on shared states
+    (entry 5.9e-17, gradients 5.5e-16, E0 <=1e-12, enforcement 5e-18,
+    trial relax <=5e-18 at every iteration count), the reference is not
+    chaotic (1e-10 perturbations -> 4.8e-9, zero flips,
+    tools/physical_edge_sensitivity.py), and the source is the
+    reference's own relax returning deterministically different results
+    (~2e-6/accepted step) for bit-identical logical state depending on
+    whether its lazy SoA caches are warm or cold
+    (tools/ref_cache_warmth_repro.py, CONFIRMED; clearing the caches
+    reproduces this solver's value bit-exactly, 6.9e-18).
     """
     from pathlib import Path
 

@@ -15,17 +15,19 @@ discrete accept/reject branches.
 
 This tool decides between them WITHOUT the repo in the loop: it runs the
 REFERENCE solver against itself on the same lane, once untouched and once
-with a single 1e-13 absolute z-perturbation of one interior vertex (about
-1 part in 1e13 — far below any physical tolerance, well above one ulp),
-and records the per-step accepted-energy trace plus the final protocol
-energy of both runs.  If the reference's own trajectory moves by the same
-orders (1e-6 by mid-g10, 1e-3 at the end) under an epsilon perturbation,
-then the repo-vs-reference residual equals the protocol's intrinsic
-sensitivity and CANNOT be closed by any solver that does not reproduce
-NumPy's summation order bit-for-bit — evidence to the exemption standard
-(BASELINE.md's recorded-exemption format), matching how the
-entry-enforcement corruption was recorded
-(tools/ref_entry_enforcement_corruption_repro.py).
+with an epsilon perturbation (one vertex, or --mode all for an
+alternating-sign 1e-10 pattern on every interior vertex), and records the
+per-step accepted-energy trace plus the final protocol energy of both.
+
+RECORDED OUTCOME (2026-08-19, benchmarks/physical_edge_sensitivity_*.json):
+the reference is STABLE — eps=1e-13 single-vertex: final-energy delta 0,
+zero flips; eps=1e-10 on ALL interior vertices: final delta 4.8e-9, zero
+accept flips.  That ruled OUT hypothesis (b) and redirected the round-5
+investigation to hypothesis (a), which terminated at the reference's
+cache-warmth defect: its relax returns different results for
+bit-identical logical state depending on whether its lazy SoA caches are
+warm or cold (tools/ref_cache_warmth_repro.py — the recorded exemption
+evidence in BASELINE.md).
 
 Usage:
     python tools/physical_edge_sensitivity.py [i50_interface] [--eps 1e-13]
