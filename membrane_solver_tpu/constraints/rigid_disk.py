@@ -178,31 +178,63 @@ def compile_static(layout):
     return ("has_radius", radius is not None)
 
 
+def _pair_slot_rows(state, topo):
+    """Shared slot form of the pairwise-distance rows: each KKT row touches
+    exactly the two pair vertices, gradient (+diff at i, -diff at j) with
+    fully-fixed pairs skipped (reference rigid_disk.py:189-255)."""
+    x = lambda k: topo.extras[f"{_PREFIX}/{k}"]  # noqa: E731
+    rows = x("rows")
+    pairs = x("pairs")
+    pvalid = x("pairs_valid")
+    positions = state.positions
+    ri = rows[pairs[:, 0]]
+    rj = rows[pairs[:, 1]]
+    fixed_i = topo.fixed_mask[ri]
+    fixed_j = topo.fixed_mask[rj]
+    use = pvalid & ~(fixed_i & fixed_j)
+    diff = positions[ri] - positions[rj]
+    gi = jnp.where((use & ~fixed_i)[:, None], diff, 0.0)
+    gj = jnp.where((use & ~fixed_j)[:, None], -diff, 0.0)
+    return gi, gj, ri, rj
+
+
 def make_constraint_gradient_rows(spec):
     def fn(state, topo, params):
         if f"{_PREFIX}/rows" not in topo.extras:
             return None
-        x = lambda k: topo.extras[f"{_PREFIX}/{k}"]  # noqa: E731
-        rows = x("rows")
-        pairs = x("pairs")
-        pvalid = x("pairs_valid")
         positions = state.positions
         n_rows = positions.shape[0]
-        dtype = positions.dtype
-        k = pairs.shape[0]
-        ri = rows[pairs[:, 0]]
-        rj = rows[pairs[:, 1]]
-        fixed_i = topo.fixed_mask[ri]
-        fixed_j = topo.fixed_mask[rj]
-        use = pvalid & ~(fixed_i & fixed_j)
-        diff = positions[ri] - positions[rj]
-        gi = jnp.where((use & ~fixed_i)[:, None], diff, 0.0)
-        gj = jnp.where((use & ~fixed_j)[:, None], -diff, 0.0)
+        gi, gj, ri, rj = _pair_slot_rows(state, topo)
+        k = ri.shape[0]
         idx = jnp.arange(k)
         out = (
-            jnp.zeros((k, n_rows, 3), dtype).at[idx, ri].add(gi).at[idx, rj].add(gj)
+            jnp.zeros((k, n_rows, 3), positions.dtype)
+            .at[idx, ri]
+            .add(gi)
+            .at[idx, rj]
+            .add(gj)
         )
         return out
+
+    return fn
+
+
+def make_compact_constraint_rows(spec):
+    """Compact-support form of the pairwise rows: (values (K, 2, 3), rows
+    (K, 2)).  Each distance invariant touches exactly its two pair
+    vertices, so the KKT projector assembles the normal equations from
+    slots in O(K^2 s^2) instead of materializing (K, Nv, 3) dense rows —
+    the dense form's K x 3Nv Gram matmul dominated the refined free-disk
+    lane's per-step cost (~210 ms of a ~330 ms block step).  Values match
+    make_constraint_gradient_rows exactly."""
+
+    def fn(state, topo, params):
+        if f"{_PREFIX}/rows" not in topo.extras:
+            return None
+        gi, gj, ri, rj = _pair_slot_rows(state, topo)
+        slot_vals = jnp.stack([gi, gj], axis=1)  # (k, 2, 3)
+        slot_rows = jnp.stack([ri, rj], axis=1)  # (k, 2)
+        return slot_vals, slot_rows
 
     return fn
 
