@@ -109,6 +109,61 @@ def compute_flat_disk_theory(params: FlatDiskTheoryParams) -> dict:
     }
 
 
+def compute_flat_disk_kh_physical_theory(params: FlatDiskTheoryParams) -> dict:
+    """Strict KH flat-disk closed form (reference tools/diagnostics/
+    flat_disk_one_leaflet_theory.py:307-418).
+
+    f = 0.5*kappa*(div t)^2 + 0.5*kappa_t*|t|^2; the internal quadratic
+    coefficient A comes from radial integration of the Bessel profile at
+    theta_B = 1 (not the reduced-form approximation), B = 2*pi*R*drive.
+    """
+    import math
+
+    from scipy import integrate, special
+
+    kappa, kappa_t = float(params.kappa), float(params.kappa_t)
+    radius, drive = float(params.radius), float(params.drive)
+    lam = math.sqrt(kappa / kappa_t)
+    x = radius / lam
+    i0, i1 = float(special.iv(0, x)), float(special.iv(1, x))
+    k0, k1 = float(special.kv(0, x)), float(special.kv(1, x))
+    amp_in, amp_out = 1.0 / i1, 1.0 / k1
+
+    def inner(rr):
+        t = amp_in * special.iv(1, rr / lam)
+        d = (amp_in / lam) * special.iv(0, rr / lam)
+        return math.pi * rr * (kappa_t * t * t + kappa * d * d)
+
+    def outer(rr):
+        t = amp_out * special.kv(1, rr / lam)
+        d = -(amp_out / lam) * special.kv(0, rr / lam)
+        return math.pi * rr * (kappa_t * t * t + kappa * d * d)
+
+    e_in_unit, _ = integrate.quad(inner, 0.0, radius, epsabs=1e-12, epsrel=1e-12, limit=500)
+    e_out_unit, _ = integrate.quad(outer, radius, np.inf, epsabs=1e-12, epsrel=1e-12, limit=500)
+    coeff_A = float(e_in_unit + e_out_unit)
+    coeff_B = 2.0 * math.pi * radius * drive
+    theta_star = coeff_B / (2.0 * coeff_A)
+    elastic_inner = e_in_unit * theta_star**2
+    elastic_outer = e_out_unit * theta_star**2
+    contact = -coeff_B * theta_star
+    return {
+        **asdict(params),
+        "lambda_value": lam,
+        "lambda_inverse": 1.0 / lam,
+        "lambda_radius": x,
+        "ratio_i1_i0": i1 / i0,
+        "ratio_k1_k0": k1 / k0,
+        "coeff_A": coeff_A,
+        "coeff_B": coeff_B,
+        "theta_star": theta_star,
+        "elastic_inner": elastic_inner,
+        "elastic_outer": elastic_outer,
+        "contact": contact,
+        "total": elastic_inner + elastic_outer + contact,
+    }
+
+
 def _factor_difference(measured: float, target: float) -> float:
     t, m = abs(float(target)), abs(float(measured))
     if t < 1e-18:
@@ -137,10 +192,19 @@ def quadratic_min_from_scan(theta_values, energy_values) -> dict:
 # ----------------------------------------------------------------------
 # benchmark protocol
 # ----------------------------------------------------------------------
-def configure_benchmark_mesh(mesh, *, theory: FlatDiskTheoryParams, outer_mode: str):
-    """Reference _configure_benchmark_mesh, default (dirichlet/legacy) args."""
+def configure_benchmark_mesh(
+    mesh,
+    *,
+    theory: FlatDiskTheoryParams,
+    outer_mode: str,
+    parameterization: str = "legacy",
+    smoothness_model: str = "dirichlet",
+):
+    """Reference _configure_benchmark_mesh (reproduce_flat_disk_one_leaflet.py
+    :858-1060): legacy/dirichlet defaults plus the kh_physical/splay_twist
+    branch used by benchmark_flat_disk_tilt_mass_mode.py."""
     gp = mesh.global_parameters
-    mapping = solver_mapping_from_theory(theory)
+    mapping = solver_mapping_from_theory(theory, parameterization)
     gp.update(
         {
             "tilt_solver": "gd",
@@ -174,15 +238,24 @@ def configure_benchmark_mesh(mesh, *, theory: FlatDiskTheoryParams, outer_mode: 
             "tilt_twist_modulus_in": 0.0,
         }
     )
+    if smoothness_model == "dirichlet":
+        smoothness_in_module = "tilt_smoothness_in"
+    elif smoothness_model == "splay_twist":
+        # Kozlov-Hamm split smoothness (reference :1017-1023): splay modulus
+        # follows the leaflet bending modulus, twist stays 0
+        smoothness_in_module = "tilt_splay_twist_in"
+        gp.set("tilt_splay_modulus_in", float(mapping["bending_modulus_in"]))
+    else:
+        raise ValueError("smoothness_model must be 'dirichlet' or 'splay_twist'")
     if outer_mode == "disabled":
-        mesh.energy_modules[:] = ["tilt_in", "tilt_smoothness_in", "tilt_thetaB_contact_in"]
+        mesh.energy_modules[:] = ["tilt_in", smoothness_in_module, "tilt_thetaB_contact_in"]
         for v in mesh.vertices.values():
             v.tilt_out = np.zeros(3)
             v.tilt_fixed_out = True
     elif outer_mode == "free":
         mesh.energy_modules[:] = [
             "tilt_in",
-            "tilt_smoothness_in",
+            smoothness_in_module,
             "tilt_out",
             "tilt_smoothness_out",
             "tilt_thetaB_contact_in",
@@ -249,6 +322,41 @@ def radial_profile_metrics(minim, radius: float) -> dict:
     }
 
 
+def run_theta_optimize(minim, *, theta_initial, steps, every, delta, inner_steps):
+    """Scalar theta_B coordinate descent (reference
+    _run_theta_optimize_detailed, reproduce_flat_disk_one_leaflet.py:
+    1129-1173): zero the tilts, then per iteration relax leaflet tilts and
+    run the thetaB scan.  Returns (theta_opt, iterations_completed)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from membrane_solver_tpu.runtime import tilt_optimization as _topt
+
+    gp = minim.mesh.global_parameters
+    gp.set("tilt_thetaB_optimize", True)
+    gp.set("tilt_thetaB_value", float(theta_initial))
+    gp.set("tilt_thetaB_optimize_every", int(every))
+    gp.set("tilt_thetaB_optimize_delta", float(delta))
+    gp.set("tilt_thetaB_optimize_inner_steps", int(inner_steps))
+
+    p = minim.problem()
+    zeros = jnp.zeros_like(p.state.tilts_in)
+    p.state = _dc.replace(p.state, tilts_in=zeros, tilts_out=zeros)
+    tilt_mode = str(gp.get("tilt_solve_mode", "coupled") or "coupled")
+    for i in range(int(steps)):
+        minim.relax_leaflet_tilts()
+        _topt.optimize_thetaB_scalar(minim, tilt_mode=tilt_mode, iteration=i)
+    theta_opt = float(gp.get("tilt_thetaB_value") or 0.0)
+    if not np.isfinite(theta_opt):
+        raise ValueError("Non-finite optimized theta_B value")
+    return theta_opt, int(steps)
+
+
+# kh_wide optimize preset (reference _resolve_optimize_preset:138-148)
+KH_WIDE = {"steps": 120, "every": 1, "delta": 2.0e-3, "inner_steps": 20}
+
+
 def run_benchmark(
     *,
     fixture: str = DEFAULT_FIXTURE,
@@ -258,6 +366,11 @@ def run_benchmark(
     theta_max: float = 0.0014,
     theta_count: int = 8,
     tilt_mass_mode_in: str | None = None,
+    theta_mode: str = "scan",
+    optimize_preset: str = "none",
+    parameterization: str = "legacy",
+    smoothness_model: str = "dirichlet",
+    theta_initial: float = 0.0,
 ) -> dict:
     import jax
 
@@ -269,12 +382,21 @@ def run_benchmark(
     )
 
     theory_params = tex_reference_params()
-    theory = compute_flat_disk_theory(theory_params)
+    if parameterization == "kh_physical":
+        theory = compute_flat_disk_kh_physical_theory(theory_params)
+    else:
+        theory = compute_flat_disk_theory(theory_params)
 
     mesh = parse_geometry(load_data(fixture))
     for _ in range(int(refine_level)):
         mesh = refine_triangle_mesh(refine_polygonal_facets(mesh))
-    configure_benchmark_mesh(mesh, theory=theory_params, outer_mode=outer_mode)
+    configure_benchmark_mesh(
+        mesh,
+        theory=theory_params,
+        outer_mode=outer_mode,
+        parameterization=parameterization,
+        smoothness_model=smoothness_model,
+    )
     if tilt_mass_mode_in is not None:
         # lumped vs consistent tilt mass discretization (reference
         # benchmarks/benchmark_flat_disk_tilt_mass_mode.py:35-57)
@@ -285,20 +407,37 @@ def run_benchmark(
     # configuring, reproduce_flat_disk_one_leaflet.py:2188-2190)
     minim.enforce_constraints_after_mesh_ops()
 
-    theta_values = np.linspace(theta_min, theta_max, theta_count)
-    energies = np.array(
-        [
-            run_theta_relaxation(minim, theta_value=float(t), reset_outer=True)
-            for t in theta_values
-        ]
-    )
-    min_idx = int(np.argmin(energies))
-    if min_idx in (0, len(theta_values) - 1):
-        raise ValueError("scan minimum on the bracket boundary; widen the scan")
-    qfit = quadratic_min_from_scan(
-        theta_values[min_idx - 1 : min_idx + 2], energies[min_idx - 1 : min_idx + 2]
-    )
-    theta_star = qfit["theta_star"]
+    qfit = None
+    theta_values = np.zeros(0)
+    energies = np.zeros(0)
+    optimize_report = None
+    if theta_mode == "optimize":
+        cfg = dict(KH_WIDE)
+        if optimize_preset not in ("kh_wide", "none"):
+            raise ValueError("supported optimize presets: kh_wide, none")
+        theta_star, iters = run_theta_optimize(minim, theta_initial=theta_initial, **cfg)
+        optimize_report = {
+            "theta_initial": float(theta_initial),
+            "optimize_preset_effective": str(optimize_preset),
+            "optimize_iterations_completed": iters,
+            **{f"optimize_{k}": v for k, v in cfg.items()},
+            "theta_star_raw": float(theta_star),
+        }
+    else:
+        theta_values = np.linspace(theta_min, theta_max, theta_count)
+        energies = np.array(
+            [
+                run_theta_relaxation(minim, theta_value=float(t), reset_outer=True)
+                for t in theta_values
+            ]
+        )
+        min_idx = int(np.argmin(energies))
+        if min_idx in (0, len(theta_values) - 1):
+            raise ValueError("scan minimum on the bracket boundary; widen the scan")
+        qfit = quadratic_min_from_scan(
+            theta_values[min_idx - 1 : min_idx + 2], energies[min_idx - 1 : min_idx + 2]
+        )
+        theta_star = qfit["theta_star"]
 
     total_energy = run_theta_relaxation(minim, theta_value=theta_star, reset_outer=True)
     p = minim.problem()
@@ -337,8 +476,14 @@ def run_benchmark(
             "fixture": str(fixture),
             "refine_level": int(refine_level),
             "outer_mode": outer_mode,
-            "theory_source": "docs/tex/1_disk_flat.tex",
-            "theta_mode": "scan",
+            "theory_source": (
+                "kh_physical_radial_integral"
+                if parameterization == "kh_physical"
+                else "docs/tex/1_disk_flat.tex"
+            ),
+            "theta_mode": str(theta_mode),
+            "parameterization": str(parameterization),
+            "smoothness_model": str(smoothness_model),
             "theta_min": float(theta_min),
             "theta_max": float(theta_max),
             "theta_count": int(theta_count),
@@ -382,6 +527,7 @@ def run_benchmark(
             "energy_values": energies.tolist(),
             "local_quadratic_fit": qfit,
         },
+        "optimize": optimize_report,
     }
     return report
 

@@ -213,8 +213,11 @@ def run_bending_analytic():
 
 def run_flat_disk_tilt_mass_mode():
     """Lumped vs consistent tilt-mass discretization through the flat-disk
-    KH reproducer (reference benchmarks/benchmark_flat_disk_tilt_mass_mode.py:
-    35-76).  Times both modes end-to-end; the returned energy is the
+    KH reproducer, on the reference benchmark's own protocol
+    (benchmarks/benchmark_flat_disk_tilt_mass_mode.py:84-90 defaults:
+    refine_level=1, theta_mode='optimize', optimize_preset='kh_wide',
+    parameterization='kh_physical', smoothness_model='splay_twist').
+    Times both modes end-to-end; the returned energy is the
     consistent-mode total (the mode the reference's report keys on)."""
     sys.path.insert(0, str(REPO / "tools"))
     from reproduce_flat_disk_one_leaflet import run_benchmark
@@ -222,7 +225,14 @@ def run_flat_disk_tilt_mass_mode():
     t0 = time.perf_counter()
     energies = {}
     for mode in ("lumped", "consistent"):
-        report = run_benchmark(refine_level=1, tilt_mass_mode_in=mode)
+        report = run_benchmark(
+            refine_level=1,
+            tilt_mass_mode_in=mode,
+            theta_mode="optimize",
+            optimize_preset="kh_wide",
+            parameterization="kh_physical",
+            smoothness_model="splay_twist",
+        )
         energies[mode] = float(report["metrics"]["mesh"]["total_energy"])
     return time.perf_counter() - t0, energies["consistent"]
 
