@@ -9,8 +9,9 @@ time — concurrent clients deadlock the axon tunnel):
    f32 on TPU, against the same relax with the Pallas path disabled
    (stock XLA) on the same device;
 2. a 10-step L1 kozlov coupled minimize, f32-TPU vs f64-CPU, within the
-   recorded trajectory tolerance (the round-2 parity probe measured
-   <= 3.8e-4 relative energy deviation over this window).
+   recorded trajectory tolerance (benchmarks/f32_parity.json is the
+   per-lane hardware record; kozlov@tpu measured 2.7e-6 max relative
+   energy deviation over 40 steps, 2026-08-19).
 
 Excluded by default via pytest.ini; run with  pytest -m tpu tests/test_tpu_smoke.py
 """
