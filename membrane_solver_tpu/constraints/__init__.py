@@ -25,6 +25,23 @@ from typing import Dict, Iterable
 _CACHE: Dict[str, ModuleType] = {}
 
 
+def any_live(arr) -> bool:
+    """Trace-safe "does this padded validity table have any live entries?".
+
+    Outside jit the concrete value decides; under tracing (topo.extras leaves
+    are traced arguments of the jitted enforcer stack) the peek is impossible,
+    so return True and let the all-False masks make the math a no-op.  Every
+    enforce() early-out must use this instead of ``np.any(np.asarray(...))``
+    (which raises TracerArrayConversionError under jit).
+    """
+    import numpy as np
+
+    try:
+        return bool(np.any(np.asarray(arr)))
+    except Exception:
+        return True
+
+
 class ConstraintModuleManager:
     def __init__(self, module_names: Iterable[str] = ()):
         self.modules: Dict[str, ModuleType] = {}

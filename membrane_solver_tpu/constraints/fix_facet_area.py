@@ -63,8 +63,10 @@ def _facet_area_grad(pos, rows):
 
 
 def enforce(state, topo, params, context: str = "minimize"):
+    from membrane_solver_tpu.constraints import any_live
+
     valid = topo.extras["constraint:fix_facet_area/valid"]
-    if not bool(np.any(np.asarray(valid))):
+    if not any_live(valid):
         return state
     slots = topo.extras["constraint:fix_facet_area/slots"]
     targets = topo.extras["constraint:fix_facet_area/target"]

@@ -60,8 +60,10 @@ def _x(topo, key):
 
 
 def enforce(state, topo, params, context: str = "minimize"):
+    from membrane_solver_tpu.constraints import any_live
+
     valid = _x(topo, "valid")
-    if not bool(np.any(np.asarray(valid))):
+    if not any_live(valid):
         return state
     rows = _x(topo, "rows")
     loop = _x(topo, "loop")

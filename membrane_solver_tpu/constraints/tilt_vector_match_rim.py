@@ -24,6 +24,20 @@ import numpy as np
 _PREFIX = "constraint:tilt_vector_match_rim"
 
 
+def _usable_group_count(mesh) -> int:
+    """Groups with equal nonzero disk/rim member counts (the pairable ones)."""
+    counts = defaultdict(lambda: {"disk": 0, "rim": 0})
+    for vid in mesh.vertices:
+        opts = mesh.vertices[vid].options or {}
+        group = opts.get("tilt_vector_match_group")
+        role = str(opts.get("tilt_vector_match_role") or "").strip().lower()
+        if group is not None and role in {"disk", "rim"}:
+            counts[str(group)][role] += 1
+    return sum(
+        1 for c in counts.values() if c["disk"] and c["disk"] == c["rim"]
+    )
+
+
 def compile_static(layout):
     gp = layout.mesh.global_parameters
     mode = str(gp.get("tilt_vector_match_mode") or "average").strip().lower()
@@ -33,7 +47,9 @@ def compile_static(layout):
         mode = "disk_to_rim"
     else:
         mode = "average"
-    return (mode,)
+    # group count must be static: the row builders unroll a Python loop over
+    # groups, and extras leaves are traced under the jitted enforcer stack
+    return (mode, _usable_group_count(layout.mesh))
 
 
 def _order_by_angle(pos, center, normal):
@@ -114,13 +130,12 @@ def compile_topology(layout) -> dict:
 
 
 def make_tilt_constraint_rows(spec):
+    n_groups = spec.static_of(_PREFIX, ("average", 0))[1]
+
     def fn(state, topo, params):
-        if f"{_PREFIX}/rim" not in topo.extras:
+        if f"{_PREFIX}/rim" not in topo.extras or n_groups == 0:
             return None
         x = lambda k: topo.extras[f"{_PREFIX}/{k}"]  # noqa: E731
-        n_groups = int(x("n_groups"))
-        if n_groups == 0:
-            return None
         rim = x("rim")
         disk = x("disk")
         gidx = x("gid")
@@ -148,14 +163,13 @@ def make_tilt_constraint_rows(spec):
 
 
 def make_enforce_tilts(spec):
-    mode = spec.static_of(_PREFIX, ("average",))[0]
+    static = spec.static_of(_PREFIX, ("average", 0))
+    mode, n_groups = static[0], static[1]
 
     def enforce(state, topo, params):
-        if f"{_PREFIX}/rim" not in topo.extras:
+        if f"{_PREFIX}/rim" not in topo.extras or n_groups == 0:
             return state
         x = lambda k: topo.extras[f"{_PREFIX}/{k}"]  # noqa: E731
-        if int(x("n_groups")) == 0:
-            return state
         rim = x("rim")
         disk = x("disk")
         gidx = x("gid")
