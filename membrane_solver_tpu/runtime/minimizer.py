@@ -103,8 +103,25 @@ class Minimizer:
         self.mesh = mesh
         self.invalidate()
 
+    def _only_dynamic_keys_changed(self, fp) -> bool:
+        """True when the gp fingerprint diff touches only dynamic-only keys."""
+        old = dict(self._params_fingerprint)
+        new = dict(fp)
+        changed = {k for k in old.keys() | new.keys() if old.get(k) != new.get(k)}
+        return bool(changed) and changed <= self._DYNAMIC_ONLY_GP_KEYS
+
     def reset_soa_caches(self) -> None:  # reference-compatible name
         self.invalidate()
+
+    # gp keys consumed ONLY as dynamic params (device/state.build_params)
+    # at call time — never by compile_topology/compile_static hooks or the
+    # spec.  A change in these must refresh problem.params, not recompile:
+    # the thetaB scan (runtime/tilt_optimization.py) and the closed-form
+    # update_scalar_params hook (energy/tilt_thetaB_contact_in.py:271)
+    # write tilt_thetaB_value every outer iteration, and a full
+    # compile_state rebuild per write dominated the theta-optimize lanes
+    # (~100 ms host work x 120 iterations on flat_disk_tilt_mass_mode).
+    _DYNAMIC_ONLY_GP_KEYS = frozenset({"tilt_thetaB_value"})
 
     def _fingerprint_params(self):
         gp = self.global_params.to_dict()
@@ -138,6 +155,16 @@ class Minimizer:
             self._problem = None
         self._mesh_token = mesh_token
         if self._problem is None or fp != self._params_fingerprint:
+            if (
+                self._problem is not None
+                and self._params_fingerprint is not None
+                and self._only_dynamic_keys_changed(fp)
+            ):
+                from membrane_solver_tpu.device.state import build_params
+
+                self._problem.params = build_params(self.mesh)
+                self._params_fingerprint = fp
+                return self._problem
             if self._problem is not None:
                 # keep device-evolved state: sync host first
                 writeback(self._problem, self.mesh)
