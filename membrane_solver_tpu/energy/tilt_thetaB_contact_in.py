@@ -204,6 +204,25 @@ def make_tilt_frozen(spec):
     return precompute, energy_fn
 
 
+def scalar_update_live(mesh, global_params) -> bool:
+    """True when update_scalar_params would actually move theta_B.
+
+    The minimizer uses this to decide whether it must fall back to
+    per-iteration (chunk=1) host stepping: the closed-form update only runs
+    in the opt-in legacy penalty mode (reference _penalty_mode:147-158
+    defaults to "off"), with a resolvable group and k > 0.
+    """
+    mode = str(global_params.get("tilt_thetaB_contact_penalty_mode") or "off").lower()
+    if mode not in {"legacy", "on", "true", "1"}:
+        return False
+    group = global_params.get("tilt_thetaB_group_in") or global_params.get(
+        "rim_slope_match_disk_group"
+    )
+    if group is None:
+        return False
+    return float(global_params.get("tilt_thetaB_strength_in") or 0.0) > 0.0
+
+
 def update_scalar_params(mesh, global_params, param_resolver) -> None:
     """Closed-form theta_B update (legacy penalty mode only) — host side.
 

@@ -453,6 +453,24 @@ class Minimizer:
         repair_enabled = bool(self.global_params.get("mesh_quality_auto_repair_enabled", False))
 
         fixed_step = float(self.global_params.get("step_size", self.step_size) or self.step_size)
+        # Host-side module scalar updates (reference minimizer.py:1221
+        # _update_scalar_params, called at the START of every iteration).
+        # Only the opt-in legacy contact penalty actually moves a scalar
+        # (energy/tilt_thetaB_contact_in.scalar_update_live); production
+        # lanes keep the whole-chunk jitted fast path.
+        scalar_hooks = [
+            (name, m)
+            for name, m in zip(self.energy_module_names, self.energy_modules)
+            if hasattr(m, "update_scalar_params")
+        ]
+        thetaB_opt = bool(self.global_params.get("tilt_thetaB_optimize", False))
+        scalar_hooks_live = any(
+            not (thetaB_opt and name == "tilt_thetaB_contact_in")
+            and getattr(m, "scalar_update_live", lambda *_a: True)(
+                self.mesh, self.global_params
+            )
+            for name, m in scalar_hooks
+        )
         zero_step_counter = 0
         iterations_done = 0
         step_success = True
@@ -472,6 +490,24 @@ class Minimizer:
             chunk = min(n_steps - iterations_done, until_repair)
             if not self.quiet:
                 chunk = 1  # per-step reporting parity
+            if scalar_hooks_live:
+                # legacy closed-form theta_B update per iteration (reference
+                # order: update -> relax -> scan -> step); reads host tilts,
+                # so sync and step one iteration at a time.  The gp write is
+                # a dynamic-only key: problem() refreshes params in place.
+                chunk = 1
+                self._sync_host()
+                for name, m in scalar_hooks:
+                    if thetaB_opt and name == "tilt_thetaB_contact_in":
+                        continue  # reference minimizer.py:1121-1136
+                    try:
+                        m.update_scalar_params(
+                            self.mesh, self.global_params, self.param_resolver
+                        )
+                    except TypeError:
+                        m.update_scalar_params(self.mesh, self.global_params)
+                p = self.problem()
+                p.params = build_params(self.mesh)
 
             tilt_mode = str(self.global_params.get("tilt_solve_mode", "fixed") or "fixed")
             if tilt_mode == "nested":
