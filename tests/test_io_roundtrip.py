@@ -117,3 +117,33 @@ def test_live_vis_smoke(tmp_path):
     for _ in range(2):
         state = update_live_vis(mesh, state=state, color_by="tilt")
     assert state is not None
+
+
+def test_compact_save_roundtrip(tmp_path):
+    """compact=True drops provenance-only options (parent_facet) and indent
+    but must stay loadable with identical geometry (reference io_writers
+    compact mode)."""
+    import json
+
+    import numpy as np
+
+    from membrane_solver_tpu.runtime.refinement import refine_triangle_mesh
+
+    mesh = parse_geometry(load_data("meshes/cube.json"))
+    mesh.instructions = []
+    mesh = refine_triangle_mesh(mesh)  # creates parent_facet provenance
+    full = tmp_path / "full.json"
+    compact = tmp_path / "compact.json"
+    save_geometry(mesh, full)
+    save_geometry(mesh, compact, compact=True)
+    assert compact.stat().st_size < full.stat().st_size
+    data = json.loads(compact.read_text())
+    assert not any(
+        "parent_facet" in (entry[-1] if isinstance(entry[-1], dict) else {})
+        for entry in data["faces"].values()
+    )
+    back = parse_geometry(data)
+    assert sorted(back.vertices) == sorted(mesh.vertices)
+    for vid in mesh.vertices:
+        assert np.allclose(back.vertices[vid].position, mesh.vertices[vid].position)
+    assert sorted(back.facets) == sorted(mesh.facets)
