@@ -85,6 +85,7 @@ def main(argv=None) -> int:
     dtype = str(p.state.positions.dtype)
     report = {
         "platform": dev,
+        "device_kind": str(jax.devices()[0].device_kind),
         "dtype": dtype,
         "n_vertices": int(p.n_vertices),
         "n_tris": int(p.n_tris),
