@@ -140,3 +140,35 @@ def test_cli_full_cube_recipe_subprocess(tmp_path):
     saved = json.loads(out_path.read_text())
     # post-recipe cube: two refinement passes -> hundreds of vertices
     assert len(saved["vertices"]) > 250
+
+
+def test_cli_stepper_and_viz_save(tmp_path):
+    """cg stepper + --viz-save render after the recipe (reference main.py
+    --viz-save); --radius-of-gyration is print-and-exit like the
+    reference's (main.py:505-514), so it is exercised separately."""
+    out_png = tmp_path / "render.png"
+    proc = _run_cli(
+        [
+            "--non-interactive", "--cpu", "-q",
+            "-i", str(_small_cube(tmp_path)),
+            "--stepper", "cg",
+            "--viz-save", str(out_png),
+        ],
+        _env(tmp_path, MPLBACKEND="Agg"),
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out_png.exists() and out_png.stat().st_size > 0
+
+
+def test_cli_radius_of_gyration_prints_and_exits(tmp_path):
+    proc = _run_cli(
+        ["--non-interactive", "--cpu", "-q", "-i", str(_small_cube(tmp_path)),
+         "--radius-of-gyration"],
+        _env(tmp_path),
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "adius of gyration" in proc.stdout
+    # print-and-exit: the recipe must NOT have run (initial cube area)
+    assert "Total surface area: 6.0" in proc.stdout
