@@ -35,11 +35,39 @@ def kozlov_problem():
             "tilt_splay_modulus_in": 0.7,
             "tilt_rim_source_strength_in": 0.3,
             "tilt_rim_source_strength_out": 0.3,
+            "tilt_rim_source_strength": 0.25,
             "tilt_disk_target_strength_in": 0.4,
             "tilt_disk_target_value_in": 0.2,
+            "tilt_disk_target_strength_out": 0.4,
+            "tilt_disk_target_value_out": 0.15,
+            "tilt_disk_contact_strength_in": 0.3,
+            # activation keys: coupling needs a mode; rim sources need a
+            # tagged ring group ("all" keeps interior ring edges); disk
+            # targets/contact collect rows from the tags applied below
+            "tilt_coupling_mode": "difference",
+            "tilt_rim_source_group_in": "rim",
+            "tilt_rim_source_group_out": "rim",
+            "tilt_rim_source_group": "rim",
+            "tilt_rim_source_edge_mode": "all",
+            "tilt_disk_target_group_in": "dt_ring",
+            "tilt_disk_target_group_out": "dt_ring",
         }
     )
+    # every FD-tested module must be in the compiled module list: the
+    # compile_topology extras (group rows, ring tables) only exist for
+    # listed modules, and a module without its extras evaluates to zero —
+    # which used to make four of these lanes silently vacuous
+    for name in MODULES_TILT_GRAD:
+        if name not in data["energy_modules"]:
+            data["energy_modules"].append(name)
     mesh = parse_geometry(data)
+    for v in mesh.vertices.values():
+        opts = v.options or {}
+        if opts.get("rim_slope_match_group") == "rim":
+            opts["tilt_disk_target_group_in"] = "dt_ring"
+            opts["tilt_disk_target_group_out"] = "dt_ring"
+        if opts.get("tilt_thetaB_group_in") == "disk":
+            opts["tilt_disk_contact_group"] = "disk"
     rng = np.random.default_rng(7)
     for v in mesh.vertices.values():
         if not (v.tilt_fixed_in or v.tilt_fixed_out):
@@ -58,7 +86,10 @@ MODULES_TILT_GRAD = [
     "tilt_smoothness_out",
     "tilt_rim_source_in",
     "tilt_rim_source_out",
+    "tilt_rim_source_bilayer",
     "tilt_disk_target_in",
+    "tilt_disk_target_out",
+    "tilt_disk_contact_in",
     "bending_tilt_in",
     "bending_tilt_out",
 ]
@@ -103,8 +134,8 @@ def test_tilt_gradient_matches_fd(name, kozlov_problem):
     h = 1e-6
     fd = (float(e_of_t(base + h * d)) - float(e_of_t(base - h * d))) / (2 * h)
     ad = float(jnp.sum(g * d))
-    if abs(fd) < 1e-14 and abs(ad) < 1e-14:
-        return  # module inactive on this lane — nothing to verify
+    if abs(e0) < 1e-14 and abs(fd) < 1e-14 and abs(ad) < 1e-14:
+        pytest.fail(f"{name} is inactive on the FD lane (energy identically 0)")
     assert abs(ad - fd) <= 1e-6 * max(abs(fd), 1.0), f"{name}: AD {ad} vs FD {fd}"
 
 
