@@ -172,3 +172,27 @@ def test_cli_radius_of_gyration_prints_and_exits(tmp_path):
     assert "adius of gyration" in proc.stdout
     # print-and-exit: the recipe must NOT have run (initial cube area)
     assert "Total surface area: 6.0" in proc.stdout
+
+
+def test_cli_repl_runs_commands_from_stdin(tmp_path):
+    """Interactive REPL: commands piped on stdin execute, `q` exits cleanly,
+    and the mesh saves on exit (reference main.py REPL loop)."""
+    out = tmp_path / "repl_out.json"
+    data = json.loads(CUBE.read_text())
+    data.pop("instructions", None)
+    mesh_path = tmp_path / "cube_noinstr.json"
+    mesh_path.write_text(json.dumps(data))
+    env = _env(tmp_path, MEMBRANE_HISTORY_FILE=str(tmp_path / "hist"))
+    proc = subprocess.run(
+        [sys.executable, "-m", "membrane_solver_tpu", "--cpu", "-q",
+         "-i", str(mesh_path), "-o", str(out)],
+        input="g2\nenergy\nq\n",
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+        env=env,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Interactive mode" in proc.stdout
+    assert out.exists()
