@@ -160,3 +160,17 @@ def test_batched_line_search_tracks_backend(monkeypatch):
     monkeypatch.delenv("MEMBRANE_SOLVER_BATCHED_LS", raising=False)
     expected = placement.effective_backend() != "cpu"
     assert tuning.batched_line_search() is expected
+
+
+# ------------------------------------------------------------- cpu_identity
+def test_cpu_identity_stable_and_nonempty():
+    from membrane_solver_tpu.utils.cpu_identity import cpu_fingerprint, cpu_identity
+
+    ident = cpu_identity()
+    assert isinstance(ident, str) and ident
+    assert cpu_identity() == ident  # stable within a process
+    fp = cpu_fingerprint()
+    assert isinstance(fp, str) and fp
+    assert cpu_fingerprint() == fp
+    # the fingerprint keys the per-host cache directory: path-safe
+    assert "/" not in fp and " " not in fp
