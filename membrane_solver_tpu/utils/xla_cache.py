@@ -18,6 +18,16 @@ The suite's mitigation is the same doctrine: multi-device compiles run
 only in short-lived forked subprocesses
 (tests/test_tensor_parallel.py::run_multidevice_driver).
 
+Third sighting (2026-08-20): after a day of bench/profile processes had
+grown the shared cache directory, full-suite runs SIGSEGV'd 2/2 inside
+``get_executable_and_time`` on a WARM SINGLE-DEVICE read
+(tests/test_vertex_tilt_lane.py, ~300 green tests in) while the same test
+passed alone in 2.5 s reading the same entry — accumulation-dependent
+again, now at the read site.  Mitigation: the pytest suite points
+MEMBRANE_SOLVER_COMPILE_CACHE at a fresh per-run directory
+(tests/conftest.py), so a suite process never deserializes an executable
+produced outside its own run.
+
 Note on the ``cpu_aot_loader.cc`` "machine type ... doesn't match" /
 "could lead to SIGILL" stderr lines seen on warm same-host cache reads:
 XLA's loader compares the full LLVM target-feature string, which includes
