@@ -315,7 +315,15 @@ class Minimizer:
     def compute_energy_and_gradient(self):
         E, g = self.compute_energy_and_gradient_array()
         p = self.problem()
-        return E, {int(vid): g[i] for i, vid in enumerate(p.vertex_ids)}
+        grad = {int(vid): g[i] for i, vid in enumerate(p.vertex_ids)}
+        # DEBUG monitor: projected gradient tangent to fixed-volume manifolds
+        # (reference minimizer.py:1012 calls it on the same dict-gradient path)
+        from membrane_solver_tpu.runtime.diagnostics.audit import (
+            log_lagrange_tangency_check,
+        )
+
+        log_lagrange_tangency_check(self, grad)
+        return E, grad
 
     def compute_energy_breakdown(self) -> Dict[str, float]:
         p = self.problem()
