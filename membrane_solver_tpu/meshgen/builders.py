@@ -194,7 +194,7 @@ def square_sheet(n: int = 4, line_tension: float = 1.0) -> dict:
     out = b.to_dict()
     out["global_parameters"] = {
         "surface_tension": 0.0,
-        "global_area_target": 1.0,
+        "target_surface_area": 1.0,
     }
     out["energy_modules"] = ["surface", "line_tension"]
     out["constraint_modules"] = ["global_area"]
